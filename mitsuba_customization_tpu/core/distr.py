@@ -1,0 +1,210 @@
+"""Tabulated sampling distributions (1-D and 2-D CDF inversion).
+
+TPU-native counterpart of mitsuba3 include/mitsuba/core/distr_1d.h
+(DiscreteDistribution / ContinuousDistribution) and distr_2d.h (Marginal2D)
+— SURVEY.md §2.3. These back emitter selection, mesh-area sampling, and the
+MERL luminance-weighted importance sampler (SURVEY.md §3.3).
+
+Design notes (TPU-first):
+* Everything is jittable, including CDF *construction* — the inverse-rendering
+  loop rebuilds the MERL sampling CDF after every table update
+  (SURVEY.md §7.3 item 6), so builds must live inside the jitted step.
+* CDF inversion uses a broadcast compare-and-reduce rather than binary
+  search: for the table sizes here (<= 256 bins) a single fused
+  compare+sum on the VPU beats a divergent binary search.
+* Distributions are NamedTuples of arrays (pytrees), with optional leading
+  "slice" axes so a stack of conditional tables (e.g. one per incident-angle
+  bin) is sampled with a per-lane slice index gather.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+_TINY = 1e-20
+
+
+def _searchsorted(cdf, u):
+    """Find smallest i with cdf[..., i] >= u; batched over leading axes.
+
+    cdf: (..., K) nondecreasing, ending at ~1. u: (...). Returns int32 (...)
+    in [0, K-1]. Implemented as sum(cdf < u) — fuses into one VPU reduction.
+    """
+    idx = jnp.sum((cdf < u[..., None]).astype(jnp.int32), axis=-1)
+    return jnp.clip(idx, 0, cdf.shape[-1] - 1)
+
+
+def _gather_last(arr, idx):
+    """arr (..., K) gathered at idx (...) -> (...); leading dims broadcast.
+
+    Supports both a shared table queried with batched indices and fully
+    batched tables (per-lane slices).
+    """
+    arr_b = jnp.broadcast_to(arr, idx.shape + arr.shape[-1:])
+    return jnp.take_along_axis(arr_b, idx[..., None], axis=-1)[..., 0]
+
+
+def _gather_row(arr, idx):
+    """arr (..., H, W) gathered at row idx (...) -> (..., W); broadcasts."""
+    arr_b = jnp.broadcast_to(arr, idx.shape + arr.shape[-2:])
+    return jnp.take_along_axis(arr_b, idx[..., None, None], axis=-2)[..., 0, :]
+
+
+# --------------------------------------------------------------------------
+# 1-D discrete distribution (emitter/face selection)
+# --------------------------------------------------------------------------
+
+
+class DiscreteDistribution(NamedTuple):
+    """Normalized discrete distribution over K outcomes.
+
+    pmf: (..., K) probabilities summing to 1; cdf: (..., K) inclusive cumsum.
+    """
+
+    pmf: jnp.ndarray
+    cdf: jnp.ndarray
+
+    @staticmethod
+    def build(weights):
+        w = jnp.maximum(weights, 0.0) + _TINY
+        total = jnp.sum(w, axis=-1, keepdims=True)
+        pmf = w / total
+        return DiscreteDistribution(pmf=pmf, cdf=jnp.cumsum(pmf, axis=-1))
+
+    def sample(self, u):
+        """u in [0,1) -> outcome index."""
+        return _searchsorted(self.cdf, u)
+
+    def sample_reuse(self, u):
+        """Sample an index and re-uniformize the used random number.
+
+        Mirrors DiscreteDistribution::sample_reuse — the returned u' is
+        uniform in [0,1) again, so one random dimension is recycled.
+        """
+        idx = _searchsorted(self.cdf, u)
+        lo = jnp.where(
+            idx > 0, _gather_last(self.cdf, jnp.maximum(idx - 1, 0)), 0.0
+        )
+        p = _gather_last(self.pmf, idx)
+        u2 = jnp.clip((u - lo) / jnp.maximum(p, _TINY), 0.0, 1.0 - 1e-7)
+        return idx, u2
+
+    def eval_pmf(self, idx):
+        return _gather_last(self.pmf, idx)
+
+
+# --------------------------------------------------------------------------
+# 1-D continuous (piecewise-linear) distribution
+# --------------------------------------------------------------------------
+
+
+class ContinuousDistribution(NamedTuple):
+    """Piecewise-constant density on [0, 1) over K cells.
+
+    pdf: (..., K) density values (integrate to 1 over [0,1));
+    cdf: (..., K) inclusive cumulative cell masses.
+    """
+
+    pdf: jnp.ndarray
+    cdf: jnp.ndarray
+
+    @staticmethod
+    def build(weights):
+        k = weights.shape[-1]
+        w = jnp.maximum(weights, 0.0) + _TINY
+        total = jnp.sum(w, axis=-1, keepdims=True)
+        mass = w / total
+        return ContinuousDistribution(pdf=mass * k, cdf=jnp.cumsum(mass, axis=-1))
+
+    def sample(self, u):
+        """u in [0,1) -> x in [0,1), continuous (uniform within cell)."""
+        k = self.pdf.shape[-1]
+        idx = _searchsorted(self.cdf, u)
+        lo = jnp.where(
+            idx > 0, _gather_last(self.cdf, jnp.maximum(idx - 1, 0)), 0.0
+        )
+        mass = _gather_last(self.cdf, idx) - lo
+        frac = jnp.clip((u - lo) / jnp.maximum(mass, _TINY), 0.0, 1.0 - 1e-7)
+        return (idx.astype(jnp.float32) + frac) / k
+
+    def eval_pdf(self, x):
+        k = self.pdf.shape[-1]
+        idx = jnp.clip((x * k).astype(jnp.int32), 0, k - 1)
+        return _gather_last(self.pdf, idx)
+
+
+# --------------------------------------------------------------------------
+# 2-D marginal distribution (Marginal2D analogue)
+# --------------------------------------------------------------------------
+
+
+class Marginal2D(NamedTuple):
+    """Piecewise-constant 2-D density on the unit square, row-marginalized.
+
+    Counterpart of mitsuba3 Marginal2D<0> (distr_2d.h): sample the row
+    (y / first axis) from the marginal CDF, then the column (x / second
+    axis) from the per-row conditional CDF. Tables may carry leading slice
+    axes (e.g. one table per incident-angle bin); use `gather_slice` to
+    pick per-lane tables before sampling.
+
+    pdf:      (..., H, W) density over [0,1)^2 (integrates to 1)
+    cdf_row:  (..., H)    marginal CDF over rows
+    cdf_cond: (..., H, W) conditional CDF within each row
+    """
+
+    pdf: jnp.ndarray
+    cdf_row: jnp.ndarray
+    cdf_cond: jnp.ndarray
+
+    @staticmethod
+    def build(weights):
+        h, w_ = weights.shape[-2], weights.shape[-1]
+        w = jnp.maximum(weights, 0.0) + _TINY
+        row_mass = jnp.sum(w, axis=-1)  # (..., H)
+        total = jnp.sum(row_mass, axis=-1, keepdims=True)  # (..., 1)
+        pdf = w / total[..., None] * (h * w_)
+        cdf_row = jnp.cumsum(row_mass / total, axis=-1)
+        cdf_cond = jnp.cumsum(w / jnp.maximum(row_mass, _TINY)[..., None], axis=-1)
+        return Marginal2D(pdf=pdf, cdf_row=cdf_row, cdf_cond=cdf_cond)
+
+    def gather_slice(self, idx):
+        """Select per-lane tables from a stack: idx (...,) into leading axis."""
+        return Marginal2D(
+            pdf=self.pdf[idx],
+            cdf_row=self.cdf_row[idx],
+            cdf_cond=self.cdf_cond[idx],
+        )
+
+    def sample(self, sample2):
+        """sample2 (..., 2) in [0,1)^2 -> ((..., 2) position in [0,1)^2, pdf)."""
+        h, w = self.pdf.shape[-2], self.pdf.shape[-1]
+        u_row, u_col = sample2[..., 0], sample2[..., 1]
+
+        row = _searchsorted(self.cdf_row, u_row)
+        row_lo = jnp.where(
+            row > 0, _gather_last(self.cdf_row, jnp.maximum(row - 1, 0)), 0.0
+        )
+        row_mass = _gather_last(self.cdf_row, row) - row_lo
+        dy = jnp.clip((u_row - row_lo) / jnp.maximum(row_mass, _TINY), 0.0, 1.0 - 1e-7)
+
+        cond = _gather_row(self.cdf_cond, row)  # (..., W)
+        col = _searchsorted(cond, u_col)
+        col_lo = jnp.where(
+            col > 0, _gather_last(cond, jnp.maximum(col - 1, 0)), 0.0
+        )
+        col_mass = _gather_last(cond, col) - col_lo
+        dx = jnp.clip((u_col - col_lo) / jnp.maximum(col_mass, _TINY), 0.0, 1.0 - 1e-7)
+
+        y = (row.astype(jnp.float32) + dy) / h
+        x = (col.astype(jnp.float32) + dx) / w
+        pos = jnp.stack([y, x], axis=-1)
+        return pos, self.eval_pdf(pos)
+
+    def eval_pdf(self, pos):
+        """Density at pos (..., 2) = (y, x) in [0,1)^2."""
+        h, w = self.pdf.shape[-2], self.pdf.shape[-1]
+        row = jnp.clip((pos[..., 0] * h).astype(jnp.int32), 0, h - 1)
+        col = jnp.clip((pos[..., 1] * w).astype(jnp.int32), 0, w - 1)
+        return _gather_last(_gather_row(self.pdf, row), col)

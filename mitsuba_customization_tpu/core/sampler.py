@@ -1,0 +1,202 @@
+"""Per-lane stateless samplers (counter-based RNG + low-discrepancy).
+
+TPU-native counterpart of mitsuba3 src/render/sampler.cpp +
+src/samplers/{independent,stratified,multijitter,ldsampler}.cpp
+(SURVEY.md §2.3 "Sampler framework", §2.4 "Samplers").
+
+Design (TPU-first, replay-exact): the reference seeds one PCG32 per lane and
+draws a *sequence*; here every random number is a pure hash of
+(seed, lane_id, dimension_index) — no mutable RNG state crosses the bounce
+loop, so path-replay backprop (SURVEY.md §3.2) reproduces the primal
+sampling decisions bit-exactly by construction (SURVEY.md §7.3 item 3).
+The dimension index advances as a *Python-side* counter, so it is static
+under jit and identical between primal and replay traces.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mitsuba_customization_tpu.core.qmc import (
+    hash_combine,
+    hash_u32,
+    sobol_owen_2d,
+)
+
+_U32 = jnp.uint32
+
+
+def _uniform_from_bits(bits):
+    return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+class Sampler:
+    """Base: deterministic per-(lane, dim) sample streams.
+
+    lane: uint32 array of lane ids (pixel*spp flattened); seed: uint32
+    scalar (render seed). `dim` is a static Python counter — call sites
+    must be trace-static (they are: the path loop is a scan with a static
+    per-iteration call pattern, the dim space is partitioned per bounce).
+    """
+
+    def __init__(self, seed, lane, dim=0):
+        self.seed = jnp.asarray(seed, dtype=_U32)
+        self.lane = jnp.asarray(lane, dtype=_U32)
+        self.dim = dim
+
+    def clone(self):
+        return type(self)(self.seed, self.lane, self.dim)
+
+    def with_dim(self, dim):
+        """Sampler positioned at an absolute dimension (per-bounce offsets)."""
+        return type(self)(self.seed, self.lane, dim)
+
+    def next_1d(self):
+        u = self._draw(self.dim)
+        self.dim += 1
+        return u
+
+    def next_2d(self):
+        u = jnp.stack([self._draw(self.dim), self._draw(self.dim + 1)], axis=-1)
+        self.dim += 2
+        return u
+
+    def _draw(self, dim):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+class IndependentSampler(Sampler):
+    """Counter-based uniform sampler — the reference's `independent` plugin.
+
+    PCG32-per-lane in the reference becomes a stateless avalanche hash of
+    (seed, lane, dim): identical statistical contract (independent uniforms),
+    zero carried state.
+    """
+
+    def _draw(self, dim):
+        bits = hash_combine(
+            hash_combine(self.seed, self.lane), jnp.asarray(dim, dtype=_U32)
+        )
+        return _uniform_from_bits(bits)
+
+
+class SobolSampler(Sampler):
+    """Owen-scrambled Sobol (0,2)-sequence sampler — replaces `ldsampler`.
+
+    The lane id is split as lane = pixel * spp + sample_index by the caller
+    via `from_pixel`; consecutive 2-D dimension pairs use independently
+    scrambled copies of the (0,2)-sequence (padded with decorrelated
+    scrambles, the standard "padded Sobol" construction).
+    """
+
+    def __init__(self, seed, lane, dim=0, pixel=None, sample_index=None):
+        super().__init__(seed, lane, dim)
+        self.pixel = lane if pixel is None else jnp.asarray(pixel, dtype=_U32)
+        self.sample_index = (
+            jnp.zeros_like(self.lane)
+            if sample_index is None
+            else jnp.asarray(sample_index, dtype=_U32)
+        )
+
+    @staticmethod
+    def from_pixel(seed, pixel, sample_index, spp):
+        lane = pixel.astype(_U32) * _U32(spp) + sample_index.astype(_U32)
+        return SobolSampler(seed, lane, 0, pixel=pixel, sample_index=sample_index)
+
+    def clone(self):
+        return SobolSampler(
+            self.seed, self.lane, self.dim, self.pixel, self.sample_index
+        )
+
+    def with_dim(self, dim):
+        return SobolSampler(
+            self.seed, self.lane, dim, self.pixel, self.sample_index
+        )
+
+    def _pair(self, pair_dim):
+        scramble = hash_combine(
+            hash_combine(self.seed, self.pixel), jnp.asarray(pair_dim, dtype=_U32)
+        )
+        return sobol_owen_2d(self.sample_index, scramble)
+
+    def _draw(self, dim):
+        pair = self._pair(dim // 2)
+        return pair[..., dim % 2]
+
+    def next_2d(self):
+        if self.dim % 2 == 0:
+            pair = self._pair(self.dim // 2)
+            self.dim += 2
+            return pair
+        return super().next_2d()
+
+
+class StratifiedSampler(Sampler):
+    """Jittered-stratified sampler — the reference's `stratified` plugin.
+
+    Stratifies each dimension over the spp index (1-D strata; 2-D calls get
+    a permuted pairing per dimension), falling back to the hash stream for
+    the jitter.
+    """
+
+    def __init__(self, seed, lane, dim=0, sample_index=None, spp=1):
+        super().__init__(seed, lane, dim)
+        self.spp = int(spp)
+        self.sample_index = (
+            jnp.zeros_like(self.lane)
+            if sample_index is None
+            else jnp.asarray(sample_index, dtype=_U32)
+        )
+
+    @staticmethod
+    def from_pixel(seed, pixel, sample_index, spp):
+        lane = pixel.astype(_U32) * _U32(spp) + sample_index.astype(_U32)
+        return StratifiedSampler(
+            seed, lane, 0, sample_index=sample_index, spp=spp
+        )
+
+    def clone(self):
+        return StratifiedSampler(
+            self.seed, self.lane, self.dim, self.sample_index, self.spp
+        )
+
+    def with_dim(self, dim):
+        return StratifiedSampler(
+            self.seed, self.lane, dim, self.sample_index, self.spp
+        )
+
+    def _draw(self, dim):
+        jitter_bits = hash_combine(
+            hash_combine(self.seed, self.lane), jnp.asarray(dim, dtype=_U32)
+        )
+        jitter = _uniform_from_bits(jitter_bits)
+        # Per-(pixel, dim) cyclic permutation of the strata (a true bijection
+        # of the sample index, so every stratum is hit exactly once).
+        pixel = self.lane // _U32(self.spp)
+        offset = hash_combine(
+            hash_combine(self.seed ^ _U32(0xA511E9B3), pixel),
+            jnp.asarray(dim, dtype=_U32),
+        )
+        stratum = ((self.sample_index + offset) % _U32(self.spp)).astype(
+            jnp.float32
+        )
+        return (stratum + jitter) / jnp.float32(self.spp)
+
+
+SAMPLERS = {
+    "independent": IndependentSampler,
+    "stratified": StratifiedSampler,
+    "sobol": SobolSampler,
+    "ldsampler": SobolSampler,  # reference name for its low-discrepancy sampler
+    "multijitter": StratifiedSampler,  # capability-equivalent stratification
+    "orthogonal": StratifiedSampler,
+}
+
+
+def make_sampler(name, seed, pixel, sample_index, spp):
+    """Instantiate a sampler by reference plugin name (SURVEY.md §2.4)."""
+    cls = SAMPLERS[name]
+    if cls is IndependentSampler:
+        lane = pixel.astype(_U32) * _U32(spp) + sample_index.astype(_U32)
+        return IndependentSampler(seed, lane)
+    return cls.from_pixel(seed, pixel, sample_index, spp)
