@@ -73,26 +73,45 @@ class DiscreteDistribution(NamedTuple):
         pmf = w / total
         return DiscreteDistribution(pmf=pmf, cdf=jnp.cumsum(pmf, axis=-1))
 
-    def sample(self, u):
-        """u in [0,1) -> outcome index."""
-        return _searchsorted(self.cdf, u)
+    def gather_slice(self, idx):
+        """Select per-lane rows from a stacked distribution (..., K).
 
-    def sample_reuse(self, u):
+        NOTE: materializes (lanes, K); for large K prefer the lazy `slice_`
+        keyword of sample/eval_pmf, which chains gathers without building
+        per-lane tables.
+        """
+        return DiscreteDistribution(pmf=self.pmf[idx], cdf=self.cdf[idx])
+
+    def _rows(self, slice_):
+        """cdf/pmf rows for a lane-indexed slice tuple (lazy gather)."""
+        if slice_ is None:
+            return self.pmf, self.cdf
+        return self.pmf[slice_], self.cdf[slice_]
+
+    def sample(self, u, slice_=None):
+        """u in [0,1) -> outcome index."""
+        _, cdf = self._rows(slice_)
+        return _searchsorted(cdf, u)
+
+    def sample_reuse(self, u, slice_=None):
         """Sample an index and re-uniformize the used random number.
 
         Mirrors DiscreteDistribution::sample_reuse — the returned u' is
         uniform in [0,1) again, so one random dimension is recycled.
         """
-        idx = _searchsorted(self.cdf, u)
+        pmf, cdf = self._rows(slice_)
+        idx = _searchsorted(cdf, u)
         lo = jnp.where(
-            idx > 0, _gather_last(self.cdf, jnp.maximum(idx - 1, 0)), 0.0
+            idx > 0, _gather_last(cdf, jnp.maximum(idx - 1, 0)), 0.0
         )
-        p = _gather_last(self.pmf, idx)
+        p = _gather_last(pmf, idx)
         u2 = jnp.clip((u - lo) / jnp.maximum(p, _TINY), 0.0, 1.0 - 1e-7)
         return idx, u2
 
-    def eval_pmf(self, idx):
-        return _gather_last(self.pmf, idx)
+    def eval_pmf(self, idx, slice_=None):
+        if slice_ is None:
+            return _gather_last(self.pmf, idx)
+        return self.pmf[slice_ + (idx,)]
 
 
 # --------------------------------------------------------------------------
@@ -170,26 +189,41 @@ class Marginal2D(NamedTuple):
         return Marginal2D(pdf=pdf, cdf_row=cdf_row, cdf_cond=cdf_cond)
 
     def gather_slice(self, idx):
-        """Select per-lane tables from a stack: idx (...,) into leading axis."""
+        """Select per-lane tables from a stack: idx into the leading axes.
+
+        NOTE: materializes (lanes, H, W) tables — 16 GB at 1M lanes for a
+        64x64 grid. Hot paths must instead pass `slice_` (a tuple of
+        per-lane index arrays into the stack axes) to sample/eval_pdf,
+        which chain the gathers index-by-index and never build per-lane
+        tables (the TPU memory contract of the MERL sampler).
+        """
         return Marginal2D(
             pdf=self.pdf[idx],
             cdf_row=self.cdf_row[idx],
             cdf_cond=self.cdf_cond[idx],
         )
 
-    def sample(self, sample2):
-        """sample2 (..., 2) in [0,1)^2 -> ((..., 2) position in [0,1)^2, pdf)."""
+    def sample(self, sample2, slice_=None):
+        """sample2 (..., 2) in [0,1)^2 -> ((..., 2) position, pdf).
+
+        slice_: optional tuple of per-lane index arrays selecting tables
+        from leading stack axes (lazy; see gather_slice note).
+        """
         h, w = self.pdf.shape[-2], self.pdf.shape[-1]
         u_row, u_col = sample2[..., 0], sample2[..., 1]
 
-        row = _searchsorted(self.cdf_row, u_row)
+        cdf_row = self.cdf_row if slice_ is None else self.cdf_row[slice_]
+        row = _searchsorted(cdf_row, u_row)
         row_lo = jnp.where(
-            row > 0, _gather_last(self.cdf_row, jnp.maximum(row - 1, 0)), 0.0
+            row > 0, _gather_last(cdf_row, jnp.maximum(row - 1, 0)), 0.0
         )
-        row_mass = _gather_last(self.cdf_row, row) - row_lo
+        row_mass = _gather_last(cdf_row, row) - row_lo
         dy = jnp.clip((u_row - row_lo) / jnp.maximum(row_mass, _TINY), 0.0, 1.0 - 1e-7)
 
-        cond = _gather_row(self.cdf_cond, row)  # (..., W)
+        if slice_ is None:
+            cond = _gather_row(self.cdf_cond, row)  # (..., W)
+        else:
+            cond = self.cdf_cond[slice_ + (row,)]  # (..., W), one gather
         col = _searchsorted(cond, u_col)
         col_lo = jnp.where(
             col > 0, _gather_last(cond, jnp.maximum(col - 1, 0)), 0.0
@@ -200,11 +234,13 @@ class Marginal2D(NamedTuple):
         y = (row.astype(jnp.float32) + dy) / h
         x = (col.astype(jnp.float32) + dx) / w
         pos = jnp.stack([y, x], axis=-1)
-        return pos, self.eval_pdf(pos)
+        return pos, self.eval_pdf(pos, slice_=slice_)
 
-    def eval_pdf(self, pos):
+    def eval_pdf(self, pos, slice_=None):
         """Density at pos (..., 2) = (y, x) in [0,1)^2."""
         h, w = self.pdf.shape[-2], self.pdf.shape[-1]
         row = jnp.clip((pos[..., 0] * h).astype(jnp.int32), 0, h - 1)
         col = jnp.clip((pos[..., 1] * w).astype(jnp.int32), 0, w - 1)
-        return _gather_last(_gather_row(self.pdf, row), col)
+        if slice_ is None:
+            return _gather_last(_gather_row(self.pdf, row), col)
+        return self.pdf[slice_ + (row, col)]

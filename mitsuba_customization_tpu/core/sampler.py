@@ -9,8 +9,13 @@ draws a *sequence*; here every random number is a pure hash of
 (seed, lane_id, dimension_index) — no mutable RNG state crosses the bounce
 loop, so path-replay backprop (SURVEY.md §3.2) reproduces the primal
 sampling decisions bit-exactly by construction (SURVEY.md §7.3 item 3).
-The dimension index advances as a *Python-side* counter, so it is static
-under jit and identical between primal and replay traces.
+
+The dimension index splits into a *traced* base (set per bounce inside
+lax.scan via `with_dim(base)` — e.g. base = CAMERA_DIMS + bounce * STRIDE)
+plus a *static* Python offset advanced by next_1d/next_2d call sites. The
+static part keeps call-site structure identical between primal and replay
+traces; the traced part lets one scan body serve every bounce. Bases must
+be even so the Sobol pair-parity stays static.
 """
 
 from __future__ import annotations
@@ -34,22 +39,25 @@ class Sampler:
     """Base: deterministic per-(lane, dim) sample streams.
 
     lane: uint32 array of lane ids (pixel*spp flattened); seed: uint32
-    scalar (render seed). `dim` is a static Python counter — call sites
-    must be trace-static (they are: the path loop is a scan with a static
-    per-iteration call pattern, the dim space is partitioned per bounce).
+    scalar (render seed); base_dim: traced uint32 dimension base (even);
+    dim: static Python offset within the base.
     """
 
-    def __init__(self, seed, lane, dim=0):
+    def __init__(self, seed, lane, dim=0, base_dim=0):
         self.seed = jnp.asarray(seed, dtype=_U32)
         self.lane = jnp.asarray(lane, dtype=_U32)
+        self.base_dim = jnp.asarray(base_dim, dtype=_U32)
         self.dim = dim
 
     def clone(self):
-        return type(self)(self.seed, self.lane, self.dim)
+        return type(self)(self.seed, self.lane, self.dim, self.base_dim)
 
-    def with_dim(self, dim):
-        """Sampler positioned at an absolute dimension (per-bounce offsets)."""
-        return type(self)(self.seed, self.lane, dim)
+    def with_dim(self, base_dim):
+        """Sampler repositioned at a (possibly traced) dimension base."""
+        return type(self)(self.seed, self.lane, 0, base_dim)
+
+    def _dim_value(self, offset):
+        return self.base_dim + _U32(offset)
 
     def next_1d(self):
         u = self._draw(self.dim)
@@ -75,7 +83,7 @@ class IndependentSampler(Sampler):
 
     def _draw(self, dim):
         bits = hash_combine(
-            hash_combine(self.seed, self.lane), jnp.asarray(dim, dtype=_U32)
+            hash_combine(self.seed, self.lane), self._dim_value(dim)
         )
         return _uniform_from_bits(bits)
 
@@ -83,14 +91,15 @@ class IndependentSampler(Sampler):
 class SobolSampler(Sampler):
     """Owen-scrambled Sobol (0,2)-sequence sampler — replaces `ldsampler`.
 
-    The lane id is split as lane = pixel * spp + sample_index by the caller
-    via `from_pixel`; consecutive 2-D dimension pairs use independently
-    scrambled copies of the (0,2)-sequence (padded with decorrelated
-    scrambles, the standard "padded Sobol" construction).
+    The lane id is split as lane = pixel * spp + sample_index by
+    `from_pixel`; consecutive 2-D dimension pairs use independently
+    scrambled copies of the (0,2)-sequence (the standard "padded Sobol"
+    construction). Requires even dimension bases (see module docstring).
     """
 
-    def __init__(self, seed, lane, dim=0, pixel=None, sample_index=None):
-        super().__init__(seed, lane, dim)
+    def __init__(self, seed, lane, dim=0, base_dim=0, pixel=None,
+                 sample_index=None):
+        super().__init__(seed, lane, dim, base_dim)
         self.pixel = lane if pixel is None else jnp.asarray(pixel, dtype=_U32)
         self.sample_index = (
             jnp.zeros_like(self.lane)
@@ -101,21 +110,24 @@ class SobolSampler(Sampler):
     @staticmethod
     def from_pixel(seed, pixel, sample_index, spp):
         lane = pixel.astype(_U32) * _U32(spp) + sample_index.astype(_U32)
-        return SobolSampler(seed, lane, 0, pixel=pixel, sample_index=sample_index)
+        return SobolSampler(seed, lane, 0, 0, pixel=pixel,
+                            sample_index=sample_index)
 
     def clone(self):
         return SobolSampler(
-            self.seed, self.lane, self.dim, self.pixel, self.sample_index
+            self.seed, self.lane, self.dim, self.base_dim, self.pixel,
+            self.sample_index,
         )
 
-    def with_dim(self, dim):
+    def with_dim(self, base_dim):
         return SobolSampler(
-            self.seed, self.lane, dim, self.pixel, self.sample_index
+            self.seed, self.lane, 0, base_dim, self.pixel, self.sample_index
         )
 
-    def _pair(self, pair_dim):
+    def _pair(self, pair_offset):
+        pair_dim = (self.base_dim >> 1) + _U32(pair_offset)
         scramble = hash_combine(
-            hash_combine(self.seed, self.pixel), jnp.asarray(pair_dim, dtype=_U32)
+            hash_combine(self.seed, self.pixel), pair_dim
         )
         return sobol_owen_2d(self.sample_index, scramble)
 
@@ -134,13 +146,14 @@ class SobolSampler(Sampler):
 class StratifiedSampler(Sampler):
     """Jittered-stratified sampler — the reference's `stratified` plugin.
 
-    Stratifies each dimension over the spp index (1-D strata; 2-D calls get
-    a permuted pairing per dimension), falling back to the hash stream for
-    the jitter.
+    Stratifies each dimension over the spp index with a per-(pixel, dim)
+    cyclic permutation (a true bijection: every stratum hit exactly once),
+    jittered by the hash stream.
     """
 
-    def __init__(self, seed, lane, dim=0, sample_index=None, spp=1):
-        super().__init__(seed, lane, dim)
+    def __init__(self, seed, lane, dim=0, base_dim=0, sample_index=None,
+                 spp=1):
+        super().__init__(seed, lane, dim, base_dim)
         self.spp = int(spp)
         self.sample_index = (
             jnp.zeros_like(self.lane)
@@ -152,30 +165,27 @@ class StratifiedSampler(Sampler):
     def from_pixel(seed, pixel, sample_index, spp):
         lane = pixel.astype(_U32) * _U32(spp) + sample_index.astype(_U32)
         return StratifiedSampler(
-            seed, lane, 0, sample_index=sample_index, spp=spp
+            seed, lane, 0, 0, sample_index=sample_index, spp=spp
         )
 
     def clone(self):
         return StratifiedSampler(
-            self.seed, self.lane, self.dim, self.sample_index, self.spp
+            self.seed, self.lane, self.dim, self.base_dim,
+            self.sample_index, self.spp,
         )
 
-    def with_dim(self, dim):
+    def with_dim(self, base_dim):
         return StratifiedSampler(
-            self.seed, self.lane, dim, self.sample_index, self.spp
+            self.seed, self.lane, 0, base_dim, self.sample_index, self.spp
         )
 
     def _draw(self, dim):
-        jitter_bits = hash_combine(
-            hash_combine(self.seed, self.lane), jnp.asarray(dim, dtype=_U32)
-        )
+        d = self._dim_value(dim)
+        jitter_bits = hash_combine(hash_combine(self.seed, self.lane), d)
         jitter = _uniform_from_bits(jitter_bits)
-        # Per-(pixel, dim) cyclic permutation of the strata (a true bijection
-        # of the sample index, so every stratum is hit exactly once).
         pixel = self.lane // _U32(self.spp)
         offset = hash_combine(
-            hash_combine(self.seed ^ _U32(0xA511E9B3), pixel),
-            jnp.asarray(dim, dtype=_U32),
+            hash_combine(self.seed ^ _U32(0xA511E9B3), pixel), d
         )
         stratum = ((self.sample_index + offset) % _U32(self.spp)).astype(
             jnp.float32

@@ -35,7 +35,23 @@ def read_merl(path):
     """Read a MERL .binary file -> (90, 90, 180, 3) float32 table (sr^-1).
 
     Channel scales applied; negatives (unmeasured) clamped to zero.
+    Uses the native C++ reader when available (same semantics).
     """
+    from mitsuba_customization_tpu import native
+
+    if native.available():
+        try:
+            table = native.read_merl(path, MERL_DIMS)
+            if table is not None:
+                return table
+        except ValueError as e:
+            # re-map native error codes onto the Python reader's messages
+            if "dims" in str(e):
+                raise ValueError(
+                    f"{path}: MERL dims mismatch — use "
+                    "measured_custom.read_custom for other resolutions"
+                ) from e
+            raise
     with open(path, "rb") as f:
         dims = struct.unpack("<3i", f.read(12))
         if tuple(dims) != MERL_DIMS:

@@ -88,11 +88,37 @@ def g2_separable(dist_type, alpha_u, alpha_v, wi, wo, h):
     )
 
 
-def sample_visible(dist_type, alpha_u, alpha_v, wi, sample2):
-    """Sample a visible micronormal (Heitz 2018 VNDF sampling for GGX;
-    Beckmann reuses the GGX construction on the stretched configuration —
-    a valid, chi2-tested approximation matching mitsuba's sample_visible
-    behavior in distribution shape)."""
+def sample_micronormal(dist_type, alpha_u, alpha_v, wi, sample2):
+    """Sample a micronormal h and matchingly defined density.
+
+    GGX: Heitz 2018 visible-normal (VNDF) sampling. Beckmann: classical
+    full-NDF sampling (theta_h = atan sqrt(-a^2 ln(1-u))) — the 0.6-era
+    strategy; its density is D(h) cos(theta_h), not the VNDF. pdf_micro
+    below matches each case. Beckmann sampling is isotropic (alpha_u).
+    """
+    if dist_type == BECKMANN:
+        a2 = alpha_u * alpha_u
+        t2 = -a2 * jnp.log(jnp.maximum(1.0 - sample2[..., 0], 1e-12))
+        cos_t = 1.0 / jnp.sqrt(1.0 + t2)
+        sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+        phi = 2.0 * jnp.pi * sample2[..., 1]
+        return jnp.stack(
+            [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1
+        )
+    return _sample_vndf_ggx(alpha_u, alpha_v, wi, sample2)
+
+
+def pdf_micronormal(dist_type, alpha_u, alpha_v, wi, h):
+    """Density of sample_micronormal in d(omega_h)."""
+    if dist_type == BECKMANN:
+        return eval_ndf(dist_type, alpha_u, alpha_v, h) * jnp.maximum(
+            m.cos_theta(h), 0.0
+        )
+    return pdf_visible(dist_type, alpha_u, alpha_v, wi, h)
+
+
+def _sample_vndf_ggx(alpha_u, alpha_v, wi, sample2):
+    """Heitz 2018 GGX visible-normal sampling."""
     # Stretch view vector by the roughness.
     vh = m.normalize(
         jnp.stack(
@@ -137,7 +163,7 @@ def sample_visible(dist_type, alpha_u, alpha_v, wi, sample2):
 
 
 def pdf_visible(dist_type, alpha_u, alpha_v, wi, h):
-    """Density of sample_visible in d(omega_h):
+    """VNDF density in d(omega_h):
     Dv(h) = G1(wi) * max(0, wi.h) * D(h) / cos(theta_i)."""
     d = eval_ndf(dist_type, alpha_u, alpha_v, h)
     g1 = smith_g1(dist_type, alpha_u, alpha_v, wi, h)

@@ -71,6 +71,17 @@ class TabulatedBRDF(NamedTuple):
         (SURVEY.md §3.5 'params.update() rebuilds sampling CDFs')."""
         return TabulatedBRDF(table=table, sampling=_build_sampling(table))
 
+    @staticmethod
+    def build_stack(tables):
+        """Construct from a stacked (n_mat, n_th, n_td, n_pd, 3) tensor.
+
+        The multi-material HBM-resident BRDF stack (BASELINE configs[4]:
+        "10 MERL materials"); eval/pdf/sample then take per-lane `slot`.
+        """
+        return TabulatedBRDF(
+            table=tables, sampling=jax.vmap(_build_sampling)(tables)
+        )
+
 
 # --------------------------------------------------------------------------
 # Index math + trilinear interpolation
@@ -83,7 +94,7 @@ def _grid_coords(table_shape, theta_h, theta_d, phi_d):
     Standard MERL index semantics (SURVEY.md §2.1 'MERL numerics'), with
     0.5-cell centering so trilinear interpolation is symmetric.
     """
-    n_th, n_td, n_pd = table_shape[0], table_shape[1], table_shape[2]
+    n_th, n_td, n_pd = table_shape[-4], table_shape[-3], table_shape[-2]
     u_th = m.safe_sqrt(theta_h / HALF_PI) * n_th - 0.5
     u_td = theta_d / HALF_PI * n_td - 0.5
     phi_d = jnp.where(phi_d < 0.0, phi_d + jnp.pi, phi_d)  # reciprocity fold
@@ -91,13 +102,16 @@ def _grid_coords(table_shape, theta_h, theta_d, phi_d):
     return u_th, u_td, u_pd
 
 
-def _trilinear_gather(table, u_th, u_td, u_pd):
+def _trilinear_gather(table, u_th, u_td, u_pd, slot=None):
     """Trilinear interpolation over (theta_h, theta_d, phi_d).
 
     8 corner gathers per channel (SURVEY.md §3.3: '8 gathers per channel').
-    theta axes clamp at the borders; phi_d wraps (period pi).
+    theta axes clamp at the borders; phi_d wraps (period pi). With a
+    stacked table (n_mat, n_th, n_td, n_pd, 3) and per-lane `slot`, corners
+    gather from each lane's material slice — the HBM-resident multi-material
+    BRDF tensor of BASELINE.json north_star.
     """
-    n_th, n_td, n_pd = table.shape[0], table.shape[1], table.shape[2]
+    n_th, n_td, n_pd = table.shape[-4], table.shape[-3], table.shape[-2]
 
     i0 = jnp.floor(u_th).astype(jnp.int32)
     j0 = jnp.floor(u_td).astype(jnp.int32)
@@ -113,8 +127,12 @@ def _trilinear_gather(table, u_th, u_td, u_pd):
     k0c = jnp.mod(k0, n_pd)
     k1c = jnp.mod(k0 + 1, n_pd)
 
-    def corner(ii, jj, kk):
-        return table[ii, jj, kk]  # (..., 3) gather
+    if slot is None:
+        def corner(ii, jj, kk):
+            return table[ii, jj, kk]  # (..., 3) gather
+    else:
+        def corner(ii, jj, kk):
+            return table[slot, ii, jj, kk]
 
     wth1, wth0 = fth[..., None], (1.0 - fth)[..., None]
     wtd1, wtd0 = ftd[..., None], (1.0 - ftd)[..., None]
@@ -138,18 +156,18 @@ def _trilinear_gather(table, u_th, u_td, u_pd):
     return c0 * wth0 + c1 * wth1
 
 
-def eval_raw(table, wi, wo):
+def eval_raw(table, wi, wo, slot=None):
     """Interpolated BRDF value f(wi, wo) (no cosine), zero below horizon."""
     theta_h, _, theta_d, phi_d = dirs_to_half_diff(wi, wo)
-    u_th, u_td, u_pd = _grid_coords(table.shape, theta_h, theta_d, phi_d)
-    val = _trilinear_gather(table, u_th, u_td, u_pd)
+    u_th, u_td, u_pd = _grid_coords(table.shape[-4:], theta_h, theta_d, phi_d)
+    val = _trilinear_gather(table, u_th, u_td, u_pd, slot=slot)
     above = jnp.logical_and(m.cos_theta(wi) > 0.0, m.cos_theta(wo) > 0.0)
     return jnp.where(above[..., None], jnp.maximum(val, 0.0), 0.0)
 
 
-def eval(params: TabulatedBRDF, wi, wo):
+def eval(params: TabulatedBRDF, wi, wo, slot=None):
     """BSDF::eval — f(wi, wo) * cos(theta_o), Mitsuba convention."""
-    return eval_raw(params.table, wi, wo) * jnp.maximum(
+    return eval_raw(params.table, wi, wo, slot=slot) * jnp.maximum(
         m.cos_theta(wo), 0.0
     )[..., None]
 
@@ -229,31 +247,32 @@ def _rotate_phi(v, phi):
     )
 
 
-def _table_pdf_canonical(sampling, theta_i, wo_c, wi_c):
+def _table_pdf_canonical(sampling, theta_i, wo_c, wi_c, slot=None):
     """Tabulated-half-vector pdf of wo (canonical frame), in omega_o measure."""
     h = m.normalize(wi_c + wo_c)
     y, x = _square_from_halfvec(h)
-    dist = sampling.gather_slice(_slice_index(theta_i))
-    p_sq = dist.eval_pdf(jnp.stack([y, x], axis=-1))
+    tbin = _slice_index(theta_i)
+    slc = (tbin,) if slot is None else (slot, tbin)
+    p_sq = sampling.eval_pdf(jnp.stack([y, x], axis=-1), slice_=slc)
     theta_h = HALF_PI * y * y
     jac_h = 2.0 * jnp.pi * jnp.pi * y * jnp.sin(theta_h)
     denom = jac_h * 4.0 * jnp.abs(m.dot(wo_c, h))
     return m.safe_div(p_sq, denom)
 
 
-def pdf(params: TabulatedBRDF, wi, wo):
+def pdf(params: TabulatedBRDF, wi, wo, slot=None):
     """BSDF::pdf — density of sample() in solid angle at wo."""
     theta_i, phi_i = _canonical_wi(wi)
     wo_c = _rotate_phi(wo, -phi_i)
     wi_c = m.sph_to_dir(theta_i, jnp.zeros_like(theta_i))
-    p_tab = _table_pdf_canonical(params.sampling, theta_i, wo_c, wi_c)
+    p_tab = _table_pdf_canonical(params.sampling, theta_i, wo_c, wi_c, slot=slot)
     p_cos = square_to_cosine_hemisphere_pdf(wo)
     p = (1.0 - COSINE_MIX) * p_tab + COSINE_MIX * p_cos
     valid = jnp.logical_and(m.cos_theta(wi) > 0.0, m.cos_theta(wo) > 0.0)
     return jnp.where(valid, p, 0.0)
 
 
-def sample(params: TabulatedBRDF, wi, sample2, sample1=None):
+def sample(params: TabulatedBRDF, wi, sample2, sample1=None, slot=None):
     """BSDF::sample — luminance-weighted half-vector sampling + cosine mix.
 
     sample2: (..., 2) for the lobe; sample1: (...) selects the mixture
@@ -277,8 +296,9 @@ def sample(params: TabulatedBRDF, wi, sample2, sample1=None):
         use_cos = sample1 < COSINE_MIX
 
     # Tabulated branch (canonical frame).
-    dist = params.sampling.gather_slice(_slice_index(theta_i))
-    pos, _ = dist.sample(sample2)
+    tbin = _slice_index(theta_i)
+    slc = (tbin,) if slot is None else (slot, tbin)
+    pos, _ = params.sampling.sample(sample2, slice_=slc)
     h, _ = _halfvec_from_square(pos[..., 0], pos[..., 1])
     wo_tab = 2.0 * m.dot_keep(wi_c, h) * h - wi_c
 
@@ -288,10 +308,10 @@ def sample(params: TabulatedBRDF, wi, sample2, sample1=None):
     wo_c = jnp.where(use_cos[..., None], wo_cos, wo_tab)
     wo = _rotate_phi(wo_c, phi_i)
 
-    p = pdf(params, wi, wo)
-    f_cos = eval(params, wi, wo)
+    p = pdf(params, wi, wo, slot=slot)
+    f_cos = eval(params, wi, wo, slot=slot)
     weight = m.safe_div(f_cos, p[..., None])
     valid = jnp.logical_and(p > 1e-12, m.cos_theta(wo) > 0.0)
     weight = jnp.where(valid[..., None], weight, 0.0)
-    return wo, jnp.where(valid, p, 0.0), weight
+    return wo, jnp.where(valid, p, 0.0), weight, jnp.zeros_like(valid)
 

@@ -1,0 +1,347 @@
+"""Integrators: MIS path tracer (NEE) + direct/depth/aov variants.
+
+TPU-native counterpart of mitsuba3 src/integrators/path.cpp +
+src/render/integrator.cpp (SURVEY.md §2.3/§2.4, call stack §3.1). The
+reference records the bounce loop as a Dr.Jit megakernel; here it is a
+`lax.scan` over a static bounce count with per-lane `active` masks — the
+wavefront structure of SURVEY.md §2.7 P5, fully fused by XLA.
+
+Sampler dimension discipline (replay-exact, SURVEY.md §7.3 item 3): every
+random decision draws from hash(seed, lane, dim) with
+    dim = CAMERA_DIMS + bounce * BOUNCE_DIMS + offset
+so the backward replay regenerates identical paths with zero carried RNG
+state (offsets below).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mitsuba_customization_tpu.core import math as m
+from mitsuba_customization_tpu.core.sampler import make_sampler
+from mitsuba_customization_tpu.models import bsdf as bsdf_mod
+from mitsuba_customization_tpu.render import emitters as em_mod
+from mitsuba_customization_tpu.render import film as film_mod
+from mitsuba_customization_tpu.render import geometry as geo
+from mitsuba_customization_tpu.render.records import Ray
+from mitsuba_customization_tpu.render.sensors import sample_ray
+
+# Sampler dimension layout.
+CAMERA_DIMS = 4  # 0-1 pixel jitter, 2-3 aperture
+BOUNCE_DIMS = 8  # 0-1 bsdf 2d, 2 bsdf lobe select, 3 RR, 4-6 NEE
+_OFF_BSDF2D = 0
+_OFF_LOBE = 2
+_OFF_RR = 3
+_OFF_NEE = 4
+
+_SHADOW_INF = 1e30
+
+# Maximum lanes traced per pass. Larger renders loop over spp chunks via
+# lax.scan (the wavefront structure of SURVEY.md §2.7 P5): bounded HBM for
+# ray state + sampler CDF gathers, one compiled pass graph regardless of
+# spp. 2^21 lanes x ~50 floats of live state stays well under 1 GB.
+MAX_WAVEFRONT = 1 << 21
+
+
+def mis_weight(pdf_a, pdf_b):
+    """Power heuristic (beta=2) — mitsuba3 path.cpp mis_weight."""
+    a2 = pdf_a * pdf_a
+    w = m.safe_div(a2, a2 + pdf_b * pdf_b)
+    return jnp.where(pdf_a > 0.0, w, 0.0)
+
+
+def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
+                ad_mode=False):
+    """Per-lane path-traced radiance for primary rays ray0.
+
+    Returns (L (N, 3), stats dict). Differentiable w.r.t. scene parameters
+    (BRDF tables, roughness, albedo, emitter radiance) with the *detached*
+    estimator of the reference's `prb` integrator (SURVEY.md §3.2): sampled
+    directions, pdfs, and MIS weights are stop-gradded, BSDF/emitter
+    evaluations stay attached. Intersections are detached (geometry
+    gradients are out of contract).
+
+    ad_mode=True (a) switches non-delta throughput weights to
+    eval(attached)/pdf(detached) — numerically identical forward, correct
+    detached-estimator gradients — and (b) checkpoints the bounce body:
+    reverse-mode AD then re-executes each bounce forward, the stateless
+    sampler replaying identical sampling decisions — i.e. path-replay
+    backprop (O(1) residual memory in path length) expressed as
+    jax.checkpoint + lax.scan. ad_mode=False skips the extra eval pass
+    (primal-only fast path).
+    """
+    n = ray0.o.shape[:-1]
+    has_emitters = bool(scene.emitters.n_emitters > 0)
+    sg = jax.lax.stop_gradient
+
+    # Derive every carry component *data-dependently* from ray0.o so the
+    # device-varying (vma) annotation propagates when tracing inside
+    # shard_map — scan carry input/output vma types must match. `zero` is
+    # the constant 0 but carries ray0's varying annotation.
+    zero = ray0.o[..., 0] * 0.0
+    init = (
+        Ray(o=ray0.o, d=ray0.d, maxt=ray0.maxt + zero),
+        1.0 + zero[..., None] * jnp.ones(3),  # throughput
+        zero[..., None] * jnp.ones(3),  # L
+        zero < 0.5,  # active = True
+        zero,  # prev bsdf pdf (solid angle)
+        zero < 0.5,  # prev delta (or camera) = True
+    )
+
+    def bounce(carry, b):
+        ray, thr, L, active, prev_pdf, prev_delta = carry
+        smp = sampler.with_dim(CAMERA_DIMS + b.astype(jnp.uint32) * BOUNCE_DIMS)
+
+        si = scene.ray_intersect(ray)
+        si = jax.tree_util.tree_map(jax.lax.stop_gradient, si)
+        n_rays = jnp.sum(active.astype(jnp.uint32))
+
+        # ---- emitter hits / escaped rays (MIS against previous NEE) ----
+        if has_emitters:
+            show = jnp.logical_or(b > 0, not hide_emitters)
+            hit_rad = em_mod.eval_hit(scene.emitters, si)
+            hit_pdf = em_mod.pdf_hit_direction(
+                scene.emitters, scene.geometry, si, ray.o
+            )
+            bg_rad = em_mod.eval_background(scene.emitters, ray.d)
+            bg_pdf = em_mod.pdf_miss_direction(scene.emitters, ray.d)
+            rad = jnp.where(si.valid[..., None], hit_rad, bg_rad)
+            em_pdf = jnp.where(si.valid, hit_pdf, bg_pdf)
+            w_mis = sg(jnp.where(prev_delta, 1.0, mis_weight(prev_pdf, em_pdf)))
+            contrib = thr * rad * w_mis[..., None]
+            L = L + jnp.where((active & show)[..., None], contrib, 0.0)
+
+        active = active & si.valid
+
+        # ---- next-event estimation (path length b+2 must fit) ----
+        smp_nee = smp.with_dim(
+            CAMERA_DIMS + b.astype(jnp.uint32) * BOUNCE_DIMS + _OFF_NEE
+        )
+        if has_emitters:
+            u3 = jnp.stack(
+                [smp_nee.next_1d(), smp_nee.next_1d(), smp_nee.next_1d()],
+                axis=-1,
+            )
+            ds = em_mod.sample_direction(
+                scene.emitters, scene.geometry, si.p, u3
+            )
+            nee_ok = active & (ds.pdf > 0.0) & (b + 2 <= max_depth)
+            wo_local = si.to_local(ds.d)
+            f_nee, bsdf_pdf_nee = bsdf_mod.eval_pdf(
+                scene.bsdfs, si.mat_id, si.wi, wo_local
+            )
+            shadow = geo.spawn_ray(si, ds.d)
+            maxt = jnp.where(
+                jnp.isinf(ds.dist), _SHADOW_INF, ds.dist * (1.0 - 1e-3)
+            )
+            shadow = Ray(o=shadow.o, d=shadow.d, maxt=maxt)
+            occ = scene.ray_test(shadow)
+            n_rays = n_rays + jnp.sum(nee_ok.astype(jnp.uint32))
+            w_nee = jnp.where(
+                ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf_nee)
+            )
+            contrib = (
+                thr
+                * f_nee
+                * ds.radiance
+                * sg(m.safe_div(w_nee, ds.pdf))[..., None]
+            )
+            L = L + jnp.where(
+                (nee_ok & jnp.logical_not(occ))[..., None], contrib, 0.0
+            )
+
+        # ---- BSDF sampling: spawn the next segment ----
+        u2 = smp.next_2d()
+        u_lobe = smp.next_1d()
+        wo, bsdf_pdf, weight, is_delta = bsdf_mod.sample(
+            scene.bsdfs, si.mat_id, si.wi, u2, u_lobe
+        )
+        wo = sg(wo)
+        bsdf_pdf = sg(bsdf_pdf)
+        if ad_mode:
+            # Detached estimator: non-delta throughput = eval(attached) /
+            # pdf(detached); delta lobes keep their analytic sample weight
+            # (direction is a deterministic detached map, no pdf involved).
+            f_attached = bsdf_mod.eval(scene.bsdfs, si.mat_id, si.wi, wo)
+            w_nondelta = m.safe_div(f_attached, sg(bsdf_pdf)[..., None])
+            weight = jnp.where(is_delta[..., None], weight, w_nondelta)
+        thr = thr * jnp.where(active[..., None], weight, 1.0)
+        d_world = si.to_world(wo)
+        new_ray = geo.spawn_ray(si, d_world)
+        ray = Ray(
+            o=jnp.where(active[..., None], new_ray.o, ray.o),
+            d=jnp.where(active[..., None], new_ray.d, ray.d),
+            # keep ray.maxt's varying annotation (full_like would drop it)
+            maxt=jnp.where(ray.maxt < 0.0, ray.maxt, jnp.inf),
+        )
+        active = active & (bsdf_pdf > 0.0) & jnp.any(weight > 0.0, axis=-1)
+        active = active & (b + 1 < max_depth)
+
+        # ---- Russian roulette (after rr_depth bounces); draws offset 3
+        # of the main per-bounce stream (_OFF_RR) ----
+        u_rr = smp.next_1d()
+        q = sg(jnp.clip(jnp.max(thr, axis=-1), 0.05, 0.95))
+        do_rr = b + 1 >= rr_depth
+        survive = jnp.logical_or(jnp.logical_not(do_rr), u_rr < q)
+        thr = jnp.where(
+            (do_rr & survive)[..., None], thr / q[..., None], thr
+        )
+        active = active & survive
+
+        return (ray, thr, L, active, bsdf_pdf, is_delta), n_rays
+
+    body = jax.checkpoint(bounce) if ad_mode else bounce
+    (ray, thr, L, active, _, _), rays_per_bounce = jax.lax.scan(
+        body, init, jnp.arange(max_depth)
+    )
+    return L, {"rays_per_bounce": rays_per_bounce}
+
+
+def render_lanes(scene, spp, seed, integrator=None, max_depth=None,
+                 ad_mode=False, lane_offset=0, n_lanes=None,
+                 pixel=None, sample_idx=None):
+    """Trace pixel*spp lanes; returns (L (N,3), film_xy (N,2), stats).
+
+    lane_offset/n_lanes select a contiguous lane range — the sharding hook:
+    each device of a mesh renders its own slab of lanes (parallel/mesh.py,
+    SURVEY.md §2.7 P1). lane_offset may be traced (axis_index * n_local).
+    Alternatively pass explicit (pixel, sample_idx) arrays — the chunked
+    render loop uses this to trace an spp-slice of every pixel per pass.
+    `spp` is always the *global* spp (sampler stratification needs it).
+    """
+    cfg = scene.config
+    integrator = integrator or cfg.integrator
+    max_depth = max_depth or cfg.max_depth
+    if integrator == "direct":
+        max_depth = min(max_depth, 2)
+    h, w = cfg.height, cfg.width
+
+    if pixel is None:
+        n = h * w * spp if n_lanes is None else n_lanes
+        lanes = jnp.uint32(lane_offset) + jnp.arange(n, dtype=jnp.uint32)
+        pixel = lanes // jnp.uint32(spp)
+        sample_idx = lanes % jnp.uint32(spp)
+    else:
+        n = pixel.shape[0]
+    smp = make_sampler(cfg.sampler, seed, pixel, sample_idx, spp)
+
+    jitter = smp.next_2d()
+    aperture = smp.next_2d()
+    px = (pixel % jnp.uint32(w)).astype(jnp.float32)
+    py = (pixel // jnp.uint32(w)).astype(jnp.float32)
+    film_xy = jnp.stack([px, py], axis=-1) + jitter
+    film_uv = film_xy / jnp.asarray([w, h], dtype=jnp.float32)
+    ray0 = sample_ray(scene.sensor, film_uv, aperture, w / h)
+
+    if integrator == "depth":
+        si = scene.ray_intersect(ray0)
+        L = jnp.where(si.valid, si.t, 0.0)[..., None] * jnp.ones(3)
+        return L, film_xy, {"rays_per_bounce": jnp.asarray([n], jnp.uint32)}
+    if integrator == "aov_normals":
+        si = scene.ray_intersect(ray0)
+        L = jnp.where(si.valid[..., None], si.frame.n * 0.5 + 0.5, 0.0)
+        return L, film_xy, {"rays_per_bounce": jnp.asarray([n], jnp.uint32)}
+
+    L, stats = trace_paths(
+        scene, ray0, smp, max_depth, cfg.rr_depth, cfg.hide_emitters,
+        ad_mode=ad_mode,
+    )
+    return L, film_xy, stats
+
+
+def _chunk_spp(hw, spp):
+    """Largest divisor of spp keeping hw*chunk <= MAX_WAVEFRONT (min 1)."""
+    chunk = max(1, min(spp, MAX_WAVEFRONT // max(hw, 1)))
+    while spp % chunk != 0:
+        chunk -= 1
+    return chunk
+
+
+def render(scene, spp=None, seed=0, integrator=None, max_depth=None,
+           ad_mode=False, return_stats=False):
+    """mi.render analogue: full pipeline to an (H, W, 3) image.
+
+    Renders in spp-chunked passes when pixels*spp exceeds MAX_WAVEFRONT,
+    accumulating into the film — the wavefront loop that bounds ray-state
+    HBM no matter the sample count. ad_mode=True selects the
+    differentiable path-replay configuration (see trace_paths) — the
+    `prb` mode of the reference. return_stats=True additionally returns
+    {"rays_traced": total rays incl. shadow rays} (float to avoid i32
+    overflow at benchmark scale).
+    """
+    cfg = scene.config
+    spp = spp or cfg.spp
+    h, w = cfg.height, cfg.width
+    hw = h * w
+    chunk = _chunk_spp(hw, spp)
+    n_pass = spp // chunk
+
+    pixel = jnp.repeat(
+        jnp.arange(hw, dtype=jnp.uint32), chunk, total_repeat_length=hw * chunk
+    )
+    sidx_local = jnp.tile(jnp.arange(chunk, dtype=jnp.uint32), hw)
+
+    def one_pass(p):
+        L, film_xy, stats = render_lanes(
+            scene, spp, seed, integrator, max_depth, ad_mode=ad_mode,
+            pixel=pixel,
+            sample_idx=sidx_local + p.astype(jnp.uint32) * jnp.uint32(chunk),
+        )
+        rays = jnp.sum(stats["rays_per_bounce"].astype(jnp.float32))
+        if cfg.rfilter == "box":
+            return film_mod.develop_box(L, h, w, chunk), None, rays
+        img, wsum = film_mod.splat(
+            L, film_xy, h, w, film_mod.FILTER_NAMES[cfg.rfilter]
+        )
+        return img, wsum, rays
+
+    def finish(img, wsum, rays):
+        out = (
+            img if wsum is None
+            else img / jnp.maximum(wsum, 1e-12)[..., None]
+        )
+        if return_stats:
+            return out, {"rays_traced": rays}
+        return out
+
+    if n_pass == 1:
+        img, wsum, rays = one_pass(jnp.uint32(0))
+        return finish(img, wsum, rays)
+
+    def body(carry, p):
+        img, wsum, rays = one_pass(p)
+        if wsum is None:
+            return (carry[0] + img, None, carry[2] + rays), None
+        return (carry[0] + img, carry[1] + wsum, carry[2] + rays), None
+
+    if cfg.rfilter == "box":
+        (total, _, rays), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((h, w, 3)), None, jnp.float32(0.0)),
+            jnp.arange(n_pass),
+        )
+        return finish(total / n_pass, None, rays)
+    (img, wsum, rays), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((h, w, 3)), jnp.zeros((h, w)), jnp.float32(0.0)),
+        jnp.arange(n_pass),
+    )
+    return finish(img, wsum, rays)
+
+
+def render_jit(scene, spp=None, seed=0, integrator=None, max_depth=None):
+    """Jitted render entry (scene is a pytree arg; config/spp are static)."""
+    return _render_jit(
+        scene, int(spp or scene.config.spp), jnp.uint32(seed),
+        integrator or scene.config.integrator,
+        int(max_depth or scene.config.max_depth),
+    )
+
+
+from functools import partial  # noqa: E402
+
+
+@partial(jax.jit, static_argnums=(1, 3, 4))
+def _render_jit(scene, spp, seed, integrator, max_depth):
+    return render(scene, spp, seed, integrator, max_depth)

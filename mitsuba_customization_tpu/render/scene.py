@@ -1,0 +1,697 @@
+"""Scene container + dict-based scene description loader.
+
+TPU-native counterpart of mitsuba3's Properties/plugin instantiation
+pipeline (SURVEY.md §2.3 "Properties / XML scene loader" + §2.5
+mi.load_dict). A scene description is a nested Python dict following the
+mi.load_dict schema; `load_dict` compiles it into a `Scene` pytree:
+
+* all shapes flatten into one Geometry primitive soup (+ BVH if large),
+* all BSDFs compile into a BSDFTable (static masked dispatch, models/bsdf),
+* all emitters into an EmitterTable (render/emitters),
+* the sensor into a Sensor record.
+
+XML scene loading (the reference's other entry point) is provided by
+render/xml.py on top of the same dict schema.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mitsuba_customization_tpu.core.distr import DiscreteDistribution, Marginal2D
+from mitsuba_customization_tpu.models import bsdf as bsdf_mod
+from mitsuba_customization_tpu.models import diffuse as diffuse_mod
+from mitsuba_customization_tpu.models import conductor as conductor_mod
+from mitsuba_customization_tpu.models import dielectric as dielectric_mod
+from mitsuba_customization_tpu.models import merl as merl_mod
+from mitsuba_customization_tpu.models import measured_custom as custom_mod
+from mitsuba_customization_tpu.models import microfacet as mf
+from mitsuba_customization_tpu.models import plastic as plastic_mod
+from mitsuba_customization_tpu.models import roughconductor as rough_mod
+from mitsuba_customization_tpu.models import roughplastic as roughplastic_mod
+from mitsuba_customization_tpu.models.tabulated import TabulatedBRDF
+from mitsuba_customization_tpu.render import bvh as bvh_mod
+from mitsuba_customization_tpu.render import emitters as em_mod
+from mitsuba_customization_tpu.render import geometry as geo
+from mitsuba_customization_tpu.render import sensors as sensor_mod
+
+# Below this primitive count the all-pairs intersector beats BVH traversal
+# (SURVEY.md §7.3 item 1); above it the skip-link BVH takes over.
+BRUTE_FORCE_MAX_PRIMS = 64
+
+# Default copper-ish conductor IOR (per-channel eta - i k).
+_DEFAULT_ETA = (0.2004, 0.9240, 1.1022)
+_DEFAULT_K = (3.9129, 2.4528, 2.1421)
+
+
+@dataclasses.dataclass
+class SceneConfig:
+    """Static (non-traced) scene facts — hashable jit aux data."""
+
+    width: int = 256
+    height: int = 256
+    spp: int = 16
+    max_depth: int = 2
+    rr_depth: int = 5
+    integrator: str = "path"
+    sampler: str = "independent"
+    rfilter: str = "box"
+    use_bvh: bool = False
+    hide_emitters: bool = False
+
+    def __hash__(self):
+        return hash(dataclasses.astuple(self))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Scene:
+    """A compiled scene: arrays are pytree leaves, config is static."""
+
+    geometry: geo.Geometry
+    bvh: Optional[bvh_mod.BVH]
+    bsdfs: bsdf_mod.BSDFTable
+    emitters: em_mod.EmitterTable
+    sensor: sensor_mod.Sensor
+    config: SceneConfig = dataclasses.field(metadata=dict(static=True))
+
+    def ray_intersect(self, ray):
+        """Scene::ray_intersect — nearest hit -> SurfaceInteraction."""
+        if self.config.use_bvh:
+            t, prim, u, v = bvh_mod.intersect(self.bvh, self.geometry, ray)
+        else:
+            t, prim, u, v = geo.intersect_brute(self.geometry, ray)
+        return geo.compute_interaction(self.geometry, ray, t, prim, u, v)
+
+    def ray_test(self, ray):
+        """Scene::ray_test — shadow-ray occlusion."""
+        if self.config.use_bvh:
+            return bvh_mod.occluded(self.bvh, self.geometry, ray)
+        return geo.occluded_brute(self.geometry, ray)
+
+
+# --------------------------------------------------------------------------
+# Transform helpers
+# --------------------------------------------------------------------------
+
+
+def _as_transform(t):
+    """Accept a 4x4 array or a dict {translate, rotate(axis,angle), scale,
+    look_at{origin,target,up}} composed in listed order."""
+    if t is None:
+        return np.eye(4, dtype=np.float32)
+    if isinstance(t, dict):
+        mat = np.eye(4)
+        if "look_at" in t:
+            la = t["look_at"]
+            mat = sensor_mod.look_at(la["origin"], la["target"], la.get("up", [0, 1, 0])).astype(np.float64)
+        if "scale" in t:
+            s = np.asarray(t["scale"], dtype=np.float64)
+            s = np.full(3, s) if s.ndim == 0 else s
+            m_ = np.eye(4)
+            m_[:3, :3] = np.diag(s)
+            mat = m_ @ mat
+        if "rotate" in t:
+            axis = np.asarray(t["rotate"]["axis"], dtype=np.float64)
+            axis = axis / np.linalg.norm(axis)
+            ang = np.deg2rad(t["rotate"]["angle"])
+            c, s_ = np.cos(ang), np.sin(ang)
+            x, y, z = axis
+            r = np.array(
+                [
+                    [c + x * x * (1 - c), x * y * (1 - c) - z * s_, x * z * (1 - c) + y * s_],
+                    [y * x * (1 - c) + z * s_, c + y * y * (1 - c), y * z * (1 - c) - x * s_],
+                    [z * x * (1 - c) - y * s_, z * y * (1 - c) + x * s_, c + z * z * (1 - c)],
+                ]
+            )
+            m_ = np.eye(4)
+            m_[:3, :3] = r
+            mat = m_ @ mat
+        if "translate" in t:
+            m_ = np.eye(4)
+            m_[:3, 3] = np.asarray(t["translate"], dtype=np.float64)
+            mat = m_ @ mat
+        return mat.astype(np.float32)
+    return np.asarray(t, dtype=np.float32)
+
+
+def _apply_transform(mat, pts):
+    return pts @ mat[:3, :3].T + mat[:3, 3]
+
+
+def _apply_normal_transform(mat, normals):
+    inv_t = np.linalg.inv(mat[:3, :3]).T
+    n = normals @ inv_t.T
+    ln = np.linalg.norm(n, axis=-1, keepdims=True)
+    return n / np.maximum(ln, 1e-12)
+
+
+# --------------------------------------------------------------------------
+# Shape assembly
+# --------------------------------------------------------------------------
+
+
+class _GeomBuilder:
+    def __init__(self):
+        self.rows = {k: [] for k in geo.Geometry._fields}
+        self.count = 0
+
+    def add_sphere(self, center, radius, mat_id, emitter_id, shape_id):
+        z3 = np.zeros(3, np.float32)
+        z2 = np.zeros(2, np.float32)
+        self._push(
+            geo.SPHERE,
+            np.asarray(center, np.float32),
+            np.asarray([radius, 0, 0], np.float32),
+            z3, z3, z3, z3, z2, z2, z2, mat_id, emitter_id, shape_id,
+        )
+
+    def add_mesh(self, v, f, n, uv, mat_id, emitter_id, shape_id):
+        v = np.asarray(v, np.float32)
+        f = np.asarray(f, np.int64)
+        if n is None:
+            n = np.zeros_like(v)
+            # face-normal fallback: accumulate area-weighted face normals
+            fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+            for k in range(3):
+                np.add.at(n, f[:, k], fn)
+            ln = np.linalg.norm(n, axis=-1, keepdims=True)
+            n = n / np.maximum(ln, 1e-12)
+        if uv is None:
+            uv = np.zeros((len(v), 2), np.float32)
+        p0 = v[f[:, 0]]
+        e1 = v[f[:, 1]] - p0
+        e2 = v[f[:, 2]] - p0
+        cnt = len(f)
+        self.rows["prim_type"].append(np.full(cnt, geo.TRI, np.int32))
+        self.rows["p0"].append(p0)
+        self.rows["e1"].append(e1)
+        self.rows["e2"].append(e2)
+        self.rows["vn0"].append(n[f[:, 0]])
+        self.rows["vn1"].append(n[f[:, 1]])
+        self.rows["vn2"].append(n[f[:, 2]])
+        self.rows["uv0"].append(uv[f[:, 0]])
+        self.rows["uv1"].append(uv[f[:, 1]])
+        self.rows["uv2"].append(uv[f[:, 2]])
+        self.rows["mat_id"].append(np.full(cnt, mat_id, np.int32))
+        self.rows["emitter_id"].append(np.full(cnt, emitter_id, np.int32))
+        self.rows["shape_id"].append(np.full(cnt, shape_id, np.int32))
+        self.count += cnt
+
+    def _push(self, ptype, p0, e1, vn0, vn1, vn2, n_unused, uv0, uv1, uv2,
+              mat_id, emitter_id, shape_id):
+        self.rows["prim_type"].append(np.asarray([ptype], np.int32))
+        self.rows["p0"].append(p0[None])
+        self.rows["e1"].append(e1[None])
+        self.rows["e2"].append(np.zeros((1, 3), np.float32))
+        self.rows["vn0"].append(vn0[None] if vn0.ndim == 1 else vn0)
+        self.rows["vn1"].append(vn1[None] if vn1.ndim == 1 else vn1)
+        self.rows["vn2"].append(vn2[None] if vn2.ndim == 1 else vn2)
+        self.rows["uv0"].append(uv0[None])
+        self.rows["uv1"].append(uv1[None])
+        self.rows["uv2"].append(uv2[None])
+        self.rows["mat_id"].append(np.asarray([mat_id], np.int32))
+        self.rows["emitter_id"].append(np.asarray([emitter_id], np.int32))
+        self.rows["shape_id"].append(np.asarray([shape_id], np.int32))
+        self.count += 1
+
+    def build(self):
+        if self.count == 0:
+            raise ValueError("scene has no shapes")
+        arrays = {
+            k: jnp.asarray(np.concatenate(v, axis=0)) for k, v in self.rows.items()
+        }
+        return geo.Geometry(**arrays)
+
+
+def _unit_rectangle():
+    """[-1,1]^2 quad in the xy-plane facing +z (mitsuba3 rectangle.cpp)."""
+    v = np.array(
+        [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], dtype=np.float32
+    )
+    f = np.array([[0, 1, 2], [0, 2, 3]], dtype=np.int32)
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=np.float32)
+    return v, f, uv
+
+
+def _unit_cube():
+    """[-1,1]^3 cube, outward normals (mitsuba3 cube.cpp)."""
+    verts, faces = [], []
+    for axis in range(3):
+        for sgn in (-1.0, 1.0):
+            base = len(verts)
+            u_ax, v_ax = (axis + 1) % 3, (axis + 2) % 3
+            for du, dv in ((-1, -1), (1, -1), (1, 1), (-1, 1)):
+                p = [0.0, 0.0, 0.0]
+                p[axis] = sgn
+                p[u_ax] = du * sgn
+                p[v_ax] = dv
+                verts.append(p)
+            faces += [[base, base + 1, base + 2], [base, base + 2, base + 3]]
+    return (
+        np.asarray(verts, dtype=np.float32),
+        np.asarray(faces, dtype=np.int32),
+    )
+
+
+def _unit_disk(segments=32):
+    """Unit disk in the xy-plane facing +z (mitsuba3 disk.cpp)."""
+    ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    rim = np.stack([np.cos(ang), np.sin(ang), np.zeros_like(ang)], -1)
+    v = np.concatenate([[[0, 0, 0]], rim]).astype(np.float32)
+    f = np.asarray(
+        [[0, 1 + i, 1 + (i + 1) % segments] for i in range(segments)],
+        dtype=np.int32,
+    )
+    return v, f
+
+
+# --------------------------------------------------------------------------
+# load_dict
+# --------------------------------------------------------------------------
+
+_SHAPE_TYPES = {"sphere", "obj", "ply", "serialized", "mesh", "rectangle",
+                "cube", "disk"}
+_EMITTER_TYPES = {"constant", "envmap", "point", "spot", "directional"}
+_BSDF_TYPES = {
+    "diffuse", "conductor", "roughconductor", "dielectric", "thindielectric",
+    "merl", "measured_custom", "twosided", "null", "plastic", "roughplastic",
+}
+
+
+def load_dict(d: dict) -> Scene:
+    """Compile a mi.load_dict-style nested dict into a Scene."""
+    if d.get("type") != "scene":
+        raise ValueError("root dict must have type='scene'")
+
+    cfg = SceneConfig()
+    named_bsdfs: dict[str, int] = {}
+
+    # --- material compilation state ---
+    mat_types: list[int] = []
+    mat_slots: list[int] = []
+    stacks: dict[int, list] = {}
+    tab_tables: list[np.ndarray] = []
+
+    def compile_bsdf(bd: Any) -> int:
+        """Returns material id; caches named references."""
+        if isinstance(bd, str):
+            if bd not in named_bsdfs:
+                raise ValueError(f"unknown bsdf reference '{bd}'")
+            return named_bsdfs[bd]
+        btype = bd.get("type", "diffuse")
+        if btype == "twosided":
+            inner = bd.get("bsdf") or next(
+                v for k, v in bd.items()
+                if isinstance(v, dict) and "type" in v
+            )
+            return compile_bsdf(inner)
+
+        def rgb(key, default):
+            val = bd.get(key, default)
+            if isinstance(val, dict):  # {"type": "rgb", "value": [...]} form
+                val = val.get("value", default)
+            val = np.asarray(val, dtype=np.float32)
+            return np.full(3, val, np.float32) if val.ndim == 0 else val
+
+        if btype == "diffuse":
+            kid = bsdf_mod.DIFFUSE
+            params = diffuse_mod.DiffuseParams(
+                reflectance=rgb("reflectance", [0.5, 0.5, 0.5])
+            )
+        elif btype == "conductor":
+            kid = bsdf_mod.CONDUCTOR
+            params = conductor_mod.ConductorParams(
+                eta=rgb("eta", _DEFAULT_ETA),
+                k=rgb("k", _DEFAULT_K),
+                specular_reflectance=rgb("specular_reflectance", [1, 1, 1]),
+            )
+        elif btype == "roughconductor":
+            kid = (
+                bsdf_mod.ROUGHCONDUCTOR
+                if bd.get("distribution", "ggx") == "ggx"
+                else bsdf_mod.ROUGHCONDUCTOR_BECKMANN
+            )
+            alpha = float(bd.get("alpha", 0.1))
+            params = rough_mod.RoughConductorParams(
+                alpha_u=np.float32(bd.get("alpha_u", alpha)),
+                alpha_v=np.float32(bd.get("alpha_v", alpha)),
+                eta=rgb("eta", _DEFAULT_ETA),
+                k=rgb("k", _DEFAULT_K),
+                specular_reflectance=rgb("specular_reflectance", [1, 1, 1]),
+            )
+        elif btype == "plastic":
+            kid = bsdf_mod.PLASTIC
+            int_ior = float(bd.get("int_ior", 1.49))
+            ext_ior = float(bd.get("ext_ior", 1.000277))
+            params = plastic_mod.PlasticParams(
+                diffuse_reflectance=rgb("diffuse_reflectance", [0.5, 0.5, 0.5]),
+                specular_reflectance=rgb("specular_reflectance", [1, 1, 1]),
+                eta=np.float32(int_ior / ext_ior),
+            )
+        elif btype == "roughplastic":
+            kid = bsdf_mod.ROUGHPLASTIC
+            int_ior = float(bd.get("int_ior", 1.49))
+            ext_ior = float(bd.get("ext_ior", 1.000277))
+            params = roughplastic_mod.RoughPlasticParams(
+                diffuse_reflectance=rgb("diffuse_reflectance", [0.5, 0.5, 0.5]),
+                specular_reflectance=rgb("specular_reflectance", [1, 1, 1]),
+                eta=np.float32(int_ior / ext_ior),
+                alpha=np.float32(bd.get("alpha", 0.1)),
+            )
+        elif btype in ("dielectric", "thindielectric"):
+            kid = bsdf_mod.DIELECTRIC
+            int_ior = float(bd.get("int_ior", 1.5046))
+            ext_ior = float(bd.get("ext_ior", 1.000277))
+            params = dielectric_mod.DielectricParams(
+                eta=np.float32(int_ior / ext_ior),
+                specular_reflectance=rgb("specular_reflectance", [1, 1, 1]),
+                specular_transmittance=rgb(
+                    "specular_transmittance", [1, 1, 1]
+                ),
+            )
+        elif btype in ("merl", "measured_custom"):
+            kid = bsdf_mod.TABULATED
+            if "table" in bd:
+                table = np.asarray(bd["table"], dtype=np.float32)
+            elif btype == "merl":
+                table = merl_mod.read_merl(bd["filename"])
+            else:
+                table = custom_mod.read_custom(bd["filename"])
+            slot = len(tab_tables)
+            if tab_tables and tab_tables[0].shape != table.shape:
+                raise ValueError(
+                    "all tabulated BRDFs in one scene must share a "
+                    f"resolution; got {table.shape} vs {tab_tables[0].shape}"
+                )
+            tab_tables.append(table)
+            mat_types.append(kid)
+            mat_slots.append(slot)
+            return len(mat_types) - 1
+        else:
+            raise ValueError(f"unsupported bsdf type '{btype}'")
+
+        stacks.setdefault(kid, []).append(params)
+        mat_types.append(kid)
+        mat_slots.append(len(stacks[kid]) - 1)
+        return len(mat_types) - 1
+
+    # --- emitter compilation state ---
+    em_rows = []  # dicts per emitter
+    env_image = None
+    env_scale = None
+    env_to_world = np.eye(3, dtype=np.float32)
+    env_row = -1
+    const_row = -1
+
+    def add_emitter(etype, **kw) -> int:
+        em_rows.append(dict(type=etype, **kw))
+        return len(em_rows) - 1
+
+    gb = _GeomBuilder()
+    sensor = None
+    shape_count = 0
+    emissive_prim_ranges = []  # (emitter_id, prim_start, prim_end)
+
+    # Pass 1: named top-level BSDFs (so shapes can reference them).
+    for key, val in d.items():
+        if key == "type" or not isinstance(val, dict):
+            continue
+        t = val.get("type")
+        if t in _BSDF_TYPES:
+            named_bsdfs[key] = compile_bsdf(val)
+
+    # Pass 2: everything else.
+    for key, val in d.items():
+        if key == "type" or not isinstance(val, dict):
+            continue
+        t = val.get("type")
+        if t in _BSDF_TYPES:
+            continue  # handled
+        if key == "integrator" or t in (
+            "path", "direct", "depth", "aov", "aov_normals", "ptracer",
+            "volpath", "moment",
+        ):
+            cfg.integrator = val.get("type", "path")
+            cfg.max_depth = int(val.get("max_depth", cfg.max_depth))
+            cfg.rr_depth = int(val.get("rr_depth", cfg.rr_depth))
+            cfg.hide_emitters = bool(val.get("hide_emitters", False))
+            continue
+        if t in ("perspective", "thinlens", "orthographic"):
+            film = val.get("film", {})
+            cfg.width = int(film.get("width", cfg.width))
+            cfg.height = int(film.get("height", cfg.height))
+            cfg.rfilter = film.get("rfilter", {}).get("type", "box") if isinstance(film.get("rfilter"), dict) else film.get("rfilter", "box")
+            samp = val.get("sampler", {})
+            cfg.sampler = samp.get("type", cfg.sampler)
+            cfg.spp = int(samp.get("sample_count", cfg.spp))
+            fov = float(val.get("fov", 45.0))
+            sensor = sensor_mod.make_sensor(
+                sensor_type=t,
+                to_world=_as_transform(val.get("to_world")),
+                fov_x=fov,
+                aperture_radius=float(val.get("aperture_radius", 0.0)),
+                focus_distance=float(val.get("focus_distance", 1.0)),
+                near_clip=float(val.get("near_clip", 1e-3)),
+                ortho_scale=float(val.get("ortho_scale", 1.0)),
+            )
+            continue
+        if t in _EMITTER_TYPES:
+            if t == "constant":
+                const_row = add_emitter(
+                    em_mod.CONSTANT, radiance=val.get("radiance", [1, 1, 1])
+                )
+            elif t == "envmap":
+                img = val.get("bitmap")
+                if img is None and "filename" in val:
+                    from mitsuba_customization_tpu.utils.io import read_image
+
+                    img = read_image(val["filename"])
+                env_image = np.asarray(img, dtype=np.float32)
+                env_scale = float(val.get("scale", 1.0))
+                env_to_world = _as_transform(val.get("to_world"))[:3, :3]
+                env_row = add_emitter(
+                    em_mod.ENVMAP, radiance=[env_scale] * 3
+                )
+            elif t == "point":
+                row = add_emitter(
+                    em_mod.POINT,
+                    radiance=val.get("intensity", [1, 1, 1]),
+                    position=val.get("position", [0, 0, 0]),
+                )
+            elif t == "directional":
+                add_emitter(
+                    em_mod.DIRECTIONAL,
+                    radiance=val.get("irradiance", [1, 1, 1]),
+                    direction=val.get("direction", [0, 0, -1]),
+                )
+            elif t == "spot":
+                to_w = _as_transform(val.get("to_world"))
+                add_emitter(
+                    em_mod.SPOT,
+                    radiance=val.get("intensity", [1, 1, 1]),
+                    position=to_w[:3, 3],
+                    direction=to_w[:3, 2],
+                    cutoff=float(val.get("cutoff_angle", 20.0)),
+                    beam=float(val.get("beam_width", 15.0)),
+                )
+            continue
+        if t in _SHAPE_TYPES:
+            # material
+            bsdf_spec = val.get("bsdf", {"type": "diffuse"})
+            mat_id = compile_bsdf(bsdf_spec)
+            # area emitter attached?
+            emitter_id = -1
+            if "emitter" in val:
+                espec = val["emitter"]
+                if espec.get("type") != "area":
+                    raise ValueError("shape emitters must have type='area'")
+                emitter_id = add_emitter(
+                    em_mod.AREA, radiance=espec.get("radiance", [1, 1, 1])
+                )
+            prim_start = gb.count
+            to_w = _as_transform(val.get("to_world"))
+            if t == "sphere":
+                center = _apply_transform(
+                    to_w, np.asarray(val.get("center", [0, 0, 0]), np.float64)
+                )
+                scale = np.cbrt(abs(np.linalg.det(to_w[:3, :3])))
+                gb.add_sphere(
+                    center,
+                    float(val.get("radius", 1.0)) * scale,
+                    mat_id,
+                    emitter_id,
+                    shape_count,
+                )
+            else:
+                if t == "obj":
+                    from mitsuba_customization_tpu.utils.obj import read_obj
+
+                    v, f, n, uv = read_obj(val["filename"])
+                elif t == "ply":
+                    from mitsuba_customization_tpu.utils.ply import read_ply
+
+                    v, f, n, uv = read_ply(val["filename"])
+                elif t == "mesh":
+                    v = np.asarray(val["vertices"], np.float32)
+                    f = np.asarray(val["faces"], np.int32)
+                    n = val.get("normals")
+                    uv = val.get("uvs")
+                elif t == "rectangle":
+                    v, f, uv = _unit_rectangle()
+                    n = None
+                elif t == "cube":
+                    v, f = _unit_cube()
+                    n, uv = None, None
+                elif t == "disk":
+                    v, f = _unit_disk()
+                    n, uv = None, None
+                else:
+                    raise ValueError(f"unsupported shape '{t}'")
+                v = _apply_transform(to_w, v.astype(np.float64)).astype(
+                    np.float32
+                )
+                if n is not None:
+                    n = _apply_normal_transform(to_w, n)
+                if val.get("face_normals", False):
+                    n = None
+                gb.add_mesh(v, f, n, uv, mat_id, emitter_id, shape_count)
+            if emitter_id >= 0:
+                emissive_prim_ranges.append((emitter_id, prim_start, gb.count))
+            shape_count += 1
+            continue
+        raise ValueError(f"unrecognized scene entry '{key}' (type={t})")
+
+    geometry = gb.build()
+
+    # --- finalize BSDF table ---
+    kernel_stacks: dict[int, Any] = {}
+    for kid, plist in stacks.items():
+        kernel_stacks[kid] = jax.tree_util.tree_map(
+            lambda *xs: jnp.asarray(np.stack(xs)), *plist
+        )
+    if tab_tables:
+        kernel_stacks[bsdf_mod.TABULATED] = TabulatedBRDF.build_stack(
+            jnp.asarray(np.stack(tab_tables))
+        )
+    if not mat_types:
+        mat_types, mat_slots = [bsdf_mod.DIFFUSE], [0]
+    bsdfs = bsdf_mod.BSDFTable(
+        mat_type=jnp.asarray(mat_types, dtype=jnp.int32),
+        mat_slot=jnp.asarray(mat_slots, dtype=jnp.int32),
+        stacks=kernel_stacks,
+    )
+
+    # --- finalize emitter table ---
+    emitters = _build_emitter_table(
+        em_rows, emissive_prim_ranges, geometry, env_image, env_to_world,
+        env_row, const_row,
+    )
+
+    if sensor is None:
+        sensor = sensor_mod.make_sensor()
+    cfg.use_bvh = gb.count > BRUTE_FORCE_MAX_PRIMS
+    tree = bvh_mod.build(geometry) if cfg.use_bvh else _dummy_bvh()
+
+    return Scene(
+        geometry=geometry,
+        bvh=tree,
+        bsdfs=bsdfs,
+        emitters=emitters,
+        sensor=sensor,
+        config=cfg,
+    )
+
+
+def _dummy_bvh():
+    return bvh_mod.BVH(
+        bb_min=jnp.zeros((1, 3)),
+        bb_max=jnp.zeros((1, 3)),
+        skip=jnp.ones((1,), dtype=jnp.int32),
+        leaf_prims=jnp.full((1, bvh_mod.LEAF_SIZE), -1, dtype=jnp.int32),
+    )
+
+
+def _build_emitter_table(
+    em_rows, emissive_prim_ranges, geometry, env_image, env_to_world,
+    env_row, const_row,
+):
+    k = max(len(em_rows), 1)
+    em_type = np.zeros(k, np.int32)
+    radiance = np.zeros((k, 3), np.float32)
+    position = np.zeros((k, 3), np.float32)
+    direction = np.tile(np.asarray([0, 0, 1], np.float32), (k, 1))
+    cutoff_cos = np.zeros(k, np.float32)
+    beam_cos = np.zeros(k, np.float32)
+    for i, row in enumerate(em_rows):
+        em_type[i] = row["type"]
+        radiance[i] = np.asarray(row.get("radiance", [0, 0, 0]), np.float32)
+        position[i] = np.asarray(row.get("position", [0, 0, 0]), np.float32)
+        dir_ = np.asarray(row.get("direction", [0, 0, 1]), np.float64)
+        direction[i] = (dir_ / max(np.linalg.norm(dir_), 1e-12)).astype(
+            np.float32
+        )
+        if row["type"] == em_mod.SPOT:
+            cutoff_cos[i] = np.cos(np.deg2rad(row.get("cutoff", 20.0)))
+            beam_cos[i] = np.cos(np.deg2rad(row.get("beam", 15.0)))
+
+    # emissive prims
+    q_ids, q_owner = [], []
+    for emitter_id, start, end in emissive_prim_ranges:
+        for p in range(start, end):
+            q_ids.append(p)
+            q_owner.append(emitter_id)
+    q = max(len(q_ids), 1)
+    em_prims = np.zeros(q, np.int32)
+    prim_area = np.ones(q, np.float32)
+    pmf = np.zeros((k, q), np.float32)
+    if q_ids:
+        em_prims = np.asarray(q_ids, np.int32)
+        prim_area = np.asarray(
+            em_mod.prim_surface_area(geometry, jnp.asarray(em_prims))
+        )
+        for qi, owner in enumerate(q_owner):
+            pmf[owner, qi] = prim_area[qi]
+    row_sums = pmf.sum(-1, keepdims=True)
+    pmf = np.where(row_sums > 0, pmf / np.maximum(row_sums, 1e-20), 0.0)
+    prim_dist = DiscreteDistribution(
+        pmf=jnp.asarray(pmf), cdf=jnp.cumsum(jnp.asarray(pmf), axis=-1)
+    )
+
+    prim_to_q = np.full(geometry.n_prims, -1, np.int32)
+    for qi, p in enumerate(q_ids):
+        prim_to_q[p] = qi
+
+    # selection: uniform over emitters (mitsuba3 default)
+    has_emitters = len(em_rows) > 0
+    sel_w = jnp.ones(k) if has_emitters else jnp.zeros(k)
+    select = DiscreteDistribution.build(sel_w)
+
+    if env_image is None:
+        env_image = np.zeros((1, 1, 3), np.float32)
+    env_img = jnp.asarray(env_image)
+    env_dist = em_mod.build_env_distribution(env_img)
+
+    return em_mod.EmitterTable(
+        em_type=jnp.asarray(em_type),
+        select=select,
+        radiance=jnp.asarray(radiance),
+        position=jnp.asarray(position),
+        direction=jnp.asarray(direction),
+        cutoff_cos=jnp.asarray(cutoff_cos),
+        beam_cos=jnp.asarray(beam_cos),
+        prim_dist=prim_dist,
+        em_prims=jnp.asarray(em_prims),
+        prim_area=jnp.asarray(prim_area),
+        prim_to_q=jnp.asarray(prim_to_q),
+        env_image=env_img,
+        env_dist=env_dist,
+        env_to_world=jnp.asarray(env_to_world),
+        env_index=jnp.asarray(env_row, dtype=jnp.int32),
+        background_index=jnp.asarray(const_row, dtype=jnp.int32),
+    )

@@ -1,0 +1,84 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8) — the loopback-mtssrv pattern of
+SURVEY.md §4.2."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mitsuba_customization_tpu as mct
+from mitsuba_customization_tpu.parallel import mesh as pmesh
+from mitsuba_customization_tpu.render import params as params_mod
+from mitsuba_customization_tpu.render.ad import grad_render
+from mitsuba_customization_tpu.render.integrator import render_jit
+from mitsuba_customization_tpu.render.sensors import look_at
+
+from fixtures import synthetic_table
+
+
+def _scene(res=32, spp=8):
+    return mct.load_dict(
+        {
+            "type": "scene",
+            "integrator": {"type": "path", "max_depth": 3},
+            "sensor": {
+                "type": "perspective",
+                "fov": 40,
+                "to_world": look_at([0, 0, -4], [0, 0, 0], [0, 1, 0]),
+                "film": {"width": res, "height": res},
+                "sampler": {"type": "independent", "sample_count": spp},
+            },
+            "sphere": {
+                "type": "sphere",
+                "bsdf": {"type": "merl", "table": synthetic_table()},
+            },
+            "light": {"type": "constant", "radiance": [1.0, 1.0, 1.0]},
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+def test_sharded_render_matches_single(eight_devices):
+    scene = _scene(res=32, spp=4)
+    mesh = pmesh.make_mesh(eight_devices)
+    img_s = np.asarray(pmesh.render_sharded_jit(scene, mesh, spp=4, seed=0))
+    img_1 = np.asarray(render_jit(scene, spp=4, seed=0))
+    # identical lanes, identical seeds -> bitwise-equal modulo reduction
+    # order inside develop; allow tiny float slack
+    assert np.allclose(img_s, img_1, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_grads_match_single(eight_devices):
+    scene = _scene(res=16, spp=4)
+    mesh = pmesh.make_mesh(eight_devices)
+    full = params_mod.traverse(scene)
+    params = {"bsdf.tabulated.table": full["bsdf.tabulated.table"]}
+    target = jnp.zeros((16, 16, 3))
+
+    loss_s, grads_s = pmesh.loss_and_grad_sharded_jit(
+        scene, params, target, mesh, 4, jnp.uint32(3)
+    )
+    loss_1, grads_1 = grad_render(scene, params, target, spp=4, seed=3)
+    assert abs(float(loss_s) - float(loss_1)) / float(loss_1) < 1e-4
+    g_s = np.asarray(grads_s["bsdf.tabulated.table"])
+    g_1 = np.asarray(grads_1["bsdf.tabulated.table"])
+    assert np.allclose(g_s, g_1, rtol=1e-3, atol=1e-7)
+
+
+def test_dryrun_multichip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip, entry
+
+    fn, args = entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()
+    dryrun_multichip(4)
