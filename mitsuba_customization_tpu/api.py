@@ -15,8 +15,10 @@ def load_dict(d):
     return _load(d)
 
 
-def render(scene, spp=16, seed=0, **kwargs):
-    """Render a scene; returns an (H, W, 3) image array (mi.render)."""
+def render(scene, spp=None, seed=0, **kwargs):
+    """Render a scene; returns an (H, W, 3) image array (mi.render).
+
+    spp=None uses the scene sampler's sample_count (mi.render semantics)."""
     from mitsuba_customization_tpu.render.integrator import render as _render
 
     return _render(scene, spp=spp, seed=seed, **kwargs)

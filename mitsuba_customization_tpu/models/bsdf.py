@@ -33,6 +33,7 @@ from mitsuba_customization_tpu.models import (
     roughconductor,
     roughplastic,
     tabulated,
+    textured_diffuse,
 )
 
 # Kernel enum — stable ids (cited in render/integrator.py dispatch).
@@ -45,6 +46,7 @@ NULL = 5  # pass-through (mitsuba3 src/bsdfs/null.cpp)
 ROUGHCONDUCTOR_BECKMANN = 6  # same params, Beckmann NDF (static choice)
 PLASTIC = 7
 ROUGHPLASTIC = 8
+TEXTURED_DIFFUSE = 9  # diffuse with bitmap/checkerboard reflectance
 
 KERNEL_NAMES = {
     DIFFUSE: "diffuse",
@@ -56,6 +58,7 @@ KERNEL_NAMES = {
     ROUGHCONDUCTOR_BECKMANN: "roughconductor_beckmann",
     PLASTIC: "plastic",
     ROUGHPLASTIC: "roughplastic",
+    TEXTURED_DIFFUSE: "textured_diffuse",
 }
 
 
@@ -92,6 +95,7 @@ _MODULES = {
     ROUGHCONDUCTOR_BECKMANN: _BeckmannKernel,
     PLASTIC: plastic,
     ROUGHPLASTIC: roughplastic,
+    TEXTURED_DIFFUSE: textured_diffuse,
 }
 
 # Kernels whose sample() is a Dirac delta (NEE skips them; no MIS weight).
@@ -125,7 +129,8 @@ def _gather_params(stack, slot):
     return jax.tree_util.tree_map(lambda a: a[slot], stack)
 
 
-def _dispatch(table: BSDFTable, mat_id, fn_name, wi, *args, **kwargs):
+def _dispatch(table: BSDFTable, mat_id, fn_name, wi, *args, uv=None,
+              **kwargs):
     """Masked run-all dispatch over the kernels present in the scene."""
     t = table.mat_type[mat_id]
     slot = table.mat_slot[mat_id]
@@ -136,11 +141,14 @@ def _dispatch(table: BSDFTable, mat_id, fn_name, wi, *args, **kwargs):
         mod = _MODULES[kid]
         mask = t == kid
         slot_safe = jnp.where(mask, slot, 0)
-        if kid == TABULATED:
-            # Big tables: slot-aware gather inside the kernel, never
-            # materialized per lane.
+        if getattr(mod, "NEEDS_SLOT", kid == TABULATED):
+            # Big stacked tensors (MERL tables, texture atlases): slot-aware
+            # gather inside the kernel, never materialized per lane.
+            extra = dict(kwargs)
+            if getattr(mod, "NEEDS_UV", False):
+                extra["uv"] = uv
             res = getattr(mod, fn_name)(
-                table.stacks[kid], wi, *args, slot=slot_safe, **kwargs
+                table.stacks[kid], wi, *args, slot=slot_safe, **extra
             )
         else:
             params = _gather_params(table.stacks[kid], slot_safe)
@@ -154,32 +162,44 @@ def _dispatch(table: BSDFTable, mat_id, fn_name, wi, *args, **kwargs):
             out,
             res,
         )
-    if out is None:  # scene with only null materials
-        raise ValueError("BSDFTable has no evaluatable kernels")
+    if out is None:  # scene with only null materials (media boundaries)
+        shape = wi.shape[:-1]
+        if fn_name == "eval":
+            return jnp.zeros(shape + (3,))
+        if fn_name == "pdf":
+            return jnp.zeros(shape)
+        if fn_name == "sample":
+            return (
+                jnp.zeros_like(wi),
+                jnp.zeros(shape),
+                jnp.zeros(shape + (3,)),
+                jnp.zeros(shape, bool),
+            )
+        raise ValueError(f"unknown BSDF dispatch '{fn_name}'")
     return out
 
 
-def eval(table: BSDFTable, mat_id, wi, wo):
+def eval(table: BSDFTable, mat_id, wi, wo, uv=None):
     """f(wi, wo) * cos(theta_o) for each lane's material."""
-    return _dispatch(table, mat_id, "eval", wi, wo)
+    return _dispatch(table, mat_id, "eval", wi, wo, uv=uv)
 
 
-def pdf(table: BSDFTable, mat_id, wi, wo):
-    return _dispatch(table, mat_id, "pdf", wi, wo)
+def pdf(table: BSDFTable, mat_id, wi, wo, uv=None):
+    return _dispatch(table, mat_id, "pdf", wi, wo, uv=uv)
 
 
-def sample(table: BSDFTable, mat_id, wi, sample2, sample1=None):
+def sample(table: BSDFTable, mat_id, wi, sample2, sample1=None, uv=None):
     """Per-lane BSDF sampling -> (wo, pdf, weight, sampled_delta).
 
     sampled_delta is per *sample*, not per material: hybrid BSDFs (plastic)
     emit delta or smooth lobes lane by lane (BSDFSample3f.sampled_type in
     the reference).
     """
-    return _dispatch(table, mat_id, "sample", wi, sample2, sample1)
+    return _dispatch(table, mat_id, "sample", wi, sample2, sample1, uv=uv)
 
 
-def eval_pdf(table: BSDFTable, mat_id, wi, wo):
+def eval_pdf(table: BSDFTable, mat_id, wi, wo, uv=None):
     """Fused eval+pdf (BSDF::eval_pdf) — one dispatch pass for NEE."""
-    f = eval(table, mat_id, wi, wo)
-    p = pdf(table, mat_id, wi, wo)
+    f = eval(table, mat_id, wi, wo, uv=uv)
+    p = pdf(table, mat_id, wi, wo, uv=uv)
     return f, p

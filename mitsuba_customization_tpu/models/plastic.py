@@ -75,10 +75,23 @@ def pdf(params: PlasticParams, wi, wo):
 
 def sample(params: PlasticParams, wi, sample2, sample1=None):
     """Returns (wo, pdf, weight, sampled_delta)."""
-    if sample1 is None:
-        sample1 = sample2[..., 0]
     ps = _spec_prob(params, wi)
-    pick_spec = sample1 < ps
+    if sample1 is None:
+        # Lobe select reuses sample2.x; rescale the survivor back to U[0,1)
+        # so the diffuse warp stays unbiased (mitsuba3 plastic.cpp reuses
+        # the sample the same way).
+        sample1 = sample2[..., 0]
+        pick_spec = sample1 < ps
+        u0 = jnp.where(
+            pick_spec,
+            m.safe_div(sample1, ps),
+            m.safe_div(sample1 - ps, 1.0 - ps),
+        )
+        sample2 = jnp.stack(
+            [jnp.clip(u0, 0.0, 1.0 - 1e-7), sample2[..., 1]], axis=-1
+        )
+    else:
+        pick_spec = sample1 < ps
 
     wo_spec = m.reflect(wi)
     wo_diff = square_to_cosine_hemisphere(sample2)

@@ -85,10 +85,22 @@ def sample(params: RoughPlasticParams, wi, sample2, sample1=None,
            dist_type=mf.GGX):
     """Returns (wo, pdf, weight, sampled_delta=False)."""
     a = _alpha(params)
-    if sample1 is None:
-        sample1 = sample2[..., 0]
     ps = _spec_prob(params, wi)
-    pick_spec = sample1 < ps
+    if sample1 is None:
+        # Lobe select reuses sample2.x; rescale the survivor to U[0,1) so
+        # both warps stay unbiased (mitsuba3 roughplastic.cpp sample reuse).
+        sample1 = sample2[..., 0]
+        pick_spec = sample1 < ps
+        u0 = jnp.where(
+            pick_spec,
+            m.safe_div(sample1, ps),
+            m.safe_div(sample1 - ps, 1.0 - ps),
+        )
+        sample2 = jnp.stack(
+            [jnp.clip(u0, 0.0, 1.0 - 1e-7), sample2[..., 1]], axis=-1
+        )
+    else:
+        pick_spec = sample1 < ps
 
     h = mf.sample_micronormal(dist_type, a, a, wi, sample2)
     wo_spec = 2.0 * m.dot_keep(wi, h) * h - wi

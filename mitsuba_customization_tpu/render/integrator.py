@@ -21,9 +21,11 @@ import jax.numpy as jnp
 from mitsuba_customization_tpu.core import math as m
 from mitsuba_customization_tpu.core.sampler import make_sampler
 from mitsuba_customization_tpu.models import bsdf as bsdf_mod
+from mitsuba_customization_tpu.models import phase as phase_mod
 from mitsuba_customization_tpu.render import emitters as em_mod
 from mitsuba_customization_tpu.render import film as film_mod
 from mitsuba_customization_tpu.render import geometry as geo
+from mitsuba_customization_tpu.render import medium as medium_mod
 from mitsuba_customization_tpu.render.records import Ray
 from mitsuba_customization_tpu.render.sensors import sample_ray
 
@@ -129,7 +131,7 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
             nee_ok = active & (ds.pdf > 0.0) & (b + 2 <= max_depth)
             wo_local = si.to_local(ds.d)
             f_nee, bsdf_pdf_nee = bsdf_mod.eval_pdf(
-                scene.bsdfs, si.mat_id, si.wi, wo_local
+                scene.bsdfs, si.mat_id, si.wi, wo_local, uv=si.uv
             )
             shadow = geo.spawn_ray(si, ds.d)
             maxt = jnp.where(
@@ -155,7 +157,7 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
         u2 = smp.next_2d()
         u_lobe = smp.next_1d()
         wo, bsdf_pdf, weight, is_delta = bsdf_mod.sample(
-            scene.bsdfs, si.mat_id, si.wi, u2, u_lobe
+            scene.bsdfs, si.mat_id, si.wi, u2, u_lobe, uv=si.uv
         )
         wo = sg(wo)
         bsdf_pdf = sg(bsdf_pdf)
@@ -163,7 +165,8 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
             # Detached estimator: non-delta throughput = eval(attached) /
             # pdf(detached); delta lobes keep their analytic sample weight
             # (direction is a deterministic detached map, no pdf involved).
-            f_attached = bsdf_mod.eval(scene.bsdfs, si.mat_id, si.wi, wo)
+            f_attached = bsdf_mod.eval(scene.bsdfs, si.mat_id, si.wi, wo,
+                                       uv=si.uv)
             w_nondelta = m.safe_div(f_attached, sg(bsdf_pdf)[..., None])
             weight = jnp.where(is_delta[..., None], weight, w_nondelta)
         thr = thr * jnp.where(active[..., None], weight, 1.0)
@@ -193,6 +196,226 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
 
     body = jax.checkpoint(bounce) if ad_mode else bounce
     (ray, thr, L, active, _, _), rays_per_bounce = jax.lax.scan(
+        body, init, jnp.arange(max_depth)
+    )
+    return L, {"rays_per_bounce": rays_per_bounce}
+
+
+def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
+                  ad_mode=False):
+    """Volumetric path tracer (mitsuba3 src/integrators/volpath.cpp analogue).
+
+    Extends trace_paths with participating media (render/medium.py):
+    per-bounce free-flight sampling inside the lane's current medium,
+    phase-function scattering with NEE+MIS at medium events, pass-through
+    null boundaries that switch the lane's medium (mitsuba binds media to
+    shapes the same way), and medium transmittance on shadow rays.
+
+    Simplifications vs the reference (documented contract): nested media
+    resolve to "exiting any boundary returns to vacuum", and shadow-ray
+    transmittance integrates only the lane's *current* medium (emitter and
+    reference point assumed in the same or a vacuum region). max_depth
+    bounds *all* events including null crossings (static lax.scan length).
+    """
+    has_emitters = bool(scene.emitters.n_emitters > 0)
+    media = scene.media
+    sg = jax.lax.stop_gradient
+    lane = sampler.lane
+    # Media free-flight draws hash an unbounded dim stream; give them a
+    # decorrelated seed and a wide per-bounce stride (see render/medium.py).
+    med_seed = sampler.seed ^ jnp.uint32(0x6D656469)
+    MED_STRIDE = jnp.uint32(4096)
+
+    zero = ray0.o[..., 0] * 0.0
+    init = (
+        Ray(o=ray0.o, d=ray0.d, maxt=ray0.maxt + zero),
+        1.0 + zero[..., None] * jnp.ones(3),  # throughput
+        zero[..., None] * jnp.ones(3),  # L
+        zero < 0.5,  # active
+        zero,  # prev pdf (solid angle)
+        zero < 0.5,  # prev delta/camera
+        jnp.full(zero.shape, -1, jnp.int32) + (zero > 1.0),  # medium id (-1)
+    )
+
+    def bounce(carry, b):
+        ray, thr, L, active, prev_pdf, prev_delta, mid = carry
+        bu = b.astype(jnp.uint32)
+        smp = sampler.with_dim(CAMERA_DIMS + bu * BOUNCE_DIMS)
+        med_base = bu * MED_STRIDE
+
+        si = scene.ray_intersect(ray)
+        si = jax.tree_util.tree_map(sg, si)
+        n_rays = jnp.sum(active.astype(jnp.uint32))
+        t_surf = jnp.where(si.valid, si.t, jnp.inf)
+
+        # ---- free flight through the current medium ----
+        ms = medium_mod.sample_interaction(
+            media, mid, ray.o, ray.d, t_surf, med_seed, lane, med_base
+        )
+        thr = thr * jnp.where(active[..., None], sg(ms.weight) if not ad_mode
+                              else ms.weight, 1.0)
+        med_event = active & ms.is_medium
+        surf_event = active & jnp.logical_not(ms.is_medium)
+        p_med = ray.o + ms.t[..., None] * ray.d
+
+        mid_safe = jnp.maximum(mid, 0)
+        ph_type = media.phase_type[mid_safe] if media.n_media else mid_safe
+        ph_g = media.phase_g[mid_safe] if media.n_media else zero
+        wi_world = -ray.d  # points back along the ray (phase convention)
+
+        # ---- emitter hits / escaped rays (only surface-reaching lanes) ----
+        if has_emitters:
+            show = jnp.logical_or(b > 0, not hide_emitters)
+            hit_rad = em_mod.eval_hit(scene.emitters, si)
+            hit_pdf = em_mod.pdf_hit_direction(
+                scene.emitters, scene.geometry, si, ray.o
+            )
+            bg_rad = em_mod.eval_background(scene.emitters, ray.d)
+            bg_pdf = em_mod.pdf_miss_direction(scene.emitters, ray.d)
+            rad = jnp.where(si.valid[..., None], hit_rad, bg_rad)
+            em_pdf = jnp.where(si.valid, hit_pdf, bg_pdf)
+            w_mis = sg(jnp.where(prev_delta, 1.0, mis_weight(prev_pdf, em_pdf)))
+            contrib = thr * rad * w_mis[..., None]
+            L = L + jnp.where((surf_event & show)[..., None], contrib, 0.0)
+
+        active = active & (si.valid | med_event)
+        surf_event = surf_event & si.valid
+        is_null = scene.bsdfs.mat_type[si.mat_id] == bsdf_mod.NULL
+        real_surf = surf_event & jnp.logical_not(is_null)
+        null_surf = surf_event & is_null
+
+        # ---- NEE from medium scatter points and real surfaces ----
+        smp_nee = smp.with_dim(CAMERA_DIMS + bu * BOUNCE_DIMS + _OFF_NEE)
+        if has_emitters:
+            u3 = jnp.stack(
+                [smp_nee.next_1d(), smp_nee.next_1d(), smp_nee.next_1d()],
+                axis=-1,
+            )
+            p_ref = jnp.where(med_event[..., None], p_med, si.p)
+            ds = em_mod.sample_direction(
+                scene.emitters, scene.geometry, p_ref, u3
+            )
+            nee_ok = (
+                (med_event | real_surf) & (ds.pdf > 0.0) & (b + 2 <= max_depth)
+            )
+            # scatter function value + its pdf toward the light
+            wo_local = si.to_local(ds.d)
+            f_surf, pdf_surf = bsdf_mod.eval_pdf(
+                scene.bsdfs, si.mat_id, si.wi, wo_local, uv=si.uv
+            )
+            ph_val = phase_mod.eval(ph_type, ph_g, wi_world, ds.d)
+            f_scat = jnp.where(
+                med_event[..., None], ph_val[..., None], f_surf
+            )
+            pdf_scat = jnp.where(med_event, ph_val, pdf_surf)
+            # shadow ray from the event point
+            shadow_o = jnp.where(
+                med_event[..., None],
+                p_med,
+                geo.spawn_ray(si, ds.d).o,
+            )
+            maxt = jnp.where(
+                jnp.isinf(ds.dist), _SHADOW_INF, ds.dist * (1.0 - 1e-3)
+            )
+            shadow = Ray(o=shadow_o, d=ds.d, maxt=maxt)
+            occ = scene.ray_test(shadow)
+            if media.n_media:
+                # The current medium extends to the first boundary along the
+                # shadow ray (a null surface — anything occluding already
+                # failed occ), so integrate transmittance only that far.
+                si_sh = scene.ray_intersect(shadow)
+                tr_dist = jnp.where(
+                    si_sh.valid, jnp.minimum(si_sh.t, maxt), maxt
+                )
+                tr = medium_mod.transmittance(
+                    media, mid, shadow_o, ds.d, tr_dist, med_seed, lane,
+                    med_base + jnp.uint32(2048),
+                )
+            else:
+                tr = jnp.ones_like(thr)
+            n_rays = n_rays + jnp.sum(nee_ok.astype(jnp.uint32))
+            w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_scat))
+            contrib = (
+                thr * f_scat * sg(tr) * ds.radiance
+                * sg(m.safe_div(w_nee, ds.pdf))[..., None]
+            )
+            L = L + jnp.where(
+                (nee_ok & jnp.logical_not(occ))[..., None], contrib, 0.0
+            )
+
+        # ---- continuation: phase sample | bsdf sample | null passthrough --
+        u2 = smp.next_2d()
+        u_lobe = smp.next_1d()
+        wo_b, bsdf_pdf, weight_b, is_delta_b = bsdf_mod.sample(
+            scene.bsdfs, si.mat_id, si.wi, u2, u_lobe, uv=si.uv
+        )
+        wo_b = sg(wo_b)
+        bsdf_pdf = sg(bsdf_pdf)
+        if ad_mode:
+            f_attached = bsdf_mod.eval(scene.bsdfs, si.mat_id, si.wi, wo_b,
+                                       uv=si.uv)
+            w_nondelta = m.safe_div(f_attached, sg(bsdf_pdf)[..., None])
+            weight_b = jnp.where(is_delta_b[..., None], weight_b, w_nondelta)
+        d_bsdf_world = si.to_world(wo_b)
+
+        wo_ph, ph_pdf = phase_mod.sample(ph_type, ph_g, wi_world, u2)
+        wo_ph = sg(wo_ph)
+        ph_pdf = sg(ph_pdf)
+
+        d_next = jnp.where(
+            med_event[..., None],
+            wo_ph,
+            jnp.where(null_surf[..., None], ray.d, d_bsdf_world),
+        )
+        o_next = jnp.where(
+            med_event[..., None],
+            p_med,
+            geo.spawn_ray(si, d_next).o,
+        )
+        step_w = jnp.where(
+            (med_event | null_surf)[..., None], 1.0, weight_b
+        )
+        thr = thr * jnp.where(active[..., None], step_w, 1.0)
+        ray = Ray(
+            o=jnp.where(active[..., None], o_next, ray.o),
+            d=jnp.where(active[..., None], d_next, ray.d),
+            maxt=jnp.where(ray.maxt < 0.0, ray.maxt, jnp.inf),
+        )
+
+        # medium switches at null boundaries: entering picks the shape's
+        # interior medium, exiting returns to vacuum (docstring contract)
+        entering = m.dot(ray.d, si.n) < 0.0
+        shape_of = scene.geometry.shape_id[jnp.maximum(si.prim, 0)]
+        interior = media.shape_interior[shape_of]
+        mid_after_null = jnp.where(entering, interior, -1)
+        mid = jnp.where(null_surf, mid_after_null, mid)
+
+        prev_pdf = jnp.where(
+            med_event, ph_pdf, jnp.where(null_surf, prev_pdf, bsdf_pdf)
+        )
+        prev_delta = jnp.where(
+            med_event,
+            zero > 1.0,
+            jnp.where(null_surf, prev_delta, is_delta_b),
+        )
+
+        ok_surf = (bsdf_pdf > 0.0) & jnp.any(weight_b > 0.0, axis=-1)
+        cont = med_event | null_surf | (real_surf & ok_surf)
+        active = active & cont & (b + 1 < max_depth)
+        active = active & jnp.any(thr > 0.0, axis=-1)
+
+        # ---- Russian roulette ----
+        u_rr = smp.next_1d()
+        q = sg(jnp.clip(jnp.max(thr, axis=-1), 0.05, 0.95))
+        do_rr = b + 1 >= rr_depth
+        survive = jnp.logical_or(jnp.logical_not(do_rr), u_rr < q)
+        thr = jnp.where((do_rr & survive)[..., None], thr / q[..., None], thr)
+        active = active & survive
+
+        return (ray, thr, L, active, prev_pdf, prev_delta, mid), n_rays
+
+    body = jax.checkpoint(bounce) if ad_mode else bounce
+    (ray, thr, L, active, _, _, _), rays_per_bounce = jax.lax.scan(
         body, init, jnp.arange(max_depth)
     )
     return L, {"rays_per_bounce": rays_per_bounce}
@@ -243,7 +466,12 @@ def render_lanes(scene, spp, seed, integrator=None, max_depth=None,
         L = jnp.where(si.valid[..., None], si.frame.n * 0.5 + 0.5, 0.0)
         return L, film_xy, {"rays_per_bounce": jnp.asarray([n], jnp.uint32)}
 
-    L, stats = trace_paths(
+    use_vol = (
+        integrator in ("volpath", "volpathmis")
+        or bool(scene.media.n_media > 0)
+    )
+    tracer = trace_volpath if use_vol else trace_paths
+    L, stats = tracer(
         scene, ray0, smp, max_depth, cfg.rr_depth, cfg.hide_emitters,
         ad_mode=ad_mode,
     )

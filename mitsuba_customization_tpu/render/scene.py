@@ -35,9 +35,12 @@ from mitsuba_customization_tpu.models import plastic as plastic_mod
 from mitsuba_customization_tpu.models import roughconductor as rough_mod
 from mitsuba_customization_tpu.models import roughplastic as roughplastic_mod
 from mitsuba_customization_tpu.models.tabulated import TabulatedBRDF
+from mitsuba_customization_tpu.models import phase as phase_mod
+from mitsuba_customization_tpu.models import texture as tex_mod
 from mitsuba_customization_tpu.render import bvh as bvh_mod
 from mitsuba_customization_tpu.render import emitters as em_mod
 from mitsuba_customization_tpu.render import geometry as geo
+from mitsuba_customization_tpu.render import medium as medium_mod
 from mitsuba_customization_tpu.render import sensors as sensor_mod
 
 # Below this primitive count the all-pairs intersector beats BVH traversal
@@ -78,6 +81,8 @@ class Scene:
     bsdfs: bsdf_mod.BSDFTable
     emitters: em_mod.EmitterTable
     sensor: sensor_mod.Sensor
+    media: medium_mod.MediumTable
+    shadow_geometry: Optional[geo.Geometry]
     config: SceneConfig = dataclasses.field(metadata=dict(static=True))
 
     def ray_intersect(self, ray):
@@ -89,10 +94,20 @@ class Scene:
         return geo.compute_interaction(self.geometry, ray, t, prim, u, v)
 
     def ray_test(self, ray):
-        """Scene::ray_test — shadow-ray occlusion."""
+        """Scene::ray_test — shadow-ray occlusion.
+
+        Null-material prims (medium boundaries) never occlude: they are
+        squashed to degenerate prims in shadow_geometry (mitsuba3's shadow
+        rays likewise pass through null BSDFs in volpath).
+        """
+        g = (
+            self.shadow_geometry
+            if self.shadow_geometry is not None
+            else self.geometry
+        )
         if self.config.use_bvh:
-            return bvh_mod.occluded(self.bvh, self.geometry, ray)
-        return geo.occluded_brute(self.geometry, ray)
+            return bvh_mod.occluded(self.bvh, g, ray)
+        return geo.occluded_brute(g, ray)
 
 
 # --------------------------------------------------------------------------
@@ -278,6 +293,12 @@ def _unit_disk(segments=32):
 _SHAPE_TYPES = {"sphere", "obj", "ply", "serialized", "mesh", "rectangle",
                 "cube", "disk"}
 _EMITTER_TYPES = {"constant", "envmap", "point", "spot", "directional"}
+_MEDIUM_TYPES = {"homogeneous", "heterogeneous"}
+_PHASE_TYPES = {
+    "isotropic": phase_mod.ISOTROPIC,
+    "hg": phase_mod.HG,
+    "rayleigh": phase_mod.RAYLEIGH,
+}
 _BSDF_TYPES = {
     "diffuse", "conductor", "roughconductor", "dielectric", "thindielectric",
     "merl", "measured_custom", "twosided", "null", "plastic", "roughplastic",
@@ -297,6 +318,38 @@ def load_dict(d: dict) -> Scene:
     mat_slots: list[int] = []
     stacks: dict[int, list] = {}
     tab_tables: list[np.ndarray] = []
+    texture_rows: list[dict] = []  # textured-diffuse bindings
+
+    def compile_texture_row(spec) -> dict:
+        """Texture dict -> a models/texture.py build_stack row."""
+        ttype = spec.get("type")
+        if ttype == "checkerboard":
+            def c3(key, default):
+                val = spec.get(key, default)
+                if isinstance(val, dict):
+                    val = val.get("value", default)
+                val = np.asarray(val, np.float32)
+                return np.full(3, val, np.float32) if val.ndim == 0 else val
+
+            return dict(
+                type=tex_mod.CHECKERBOARD,
+                value0=c3("color0", [0.4] * 3),
+                value1=c3("color1", [0.2] * 3),
+                uv_scale=spec.get("uv_scale", (1.0, 1.0)),
+                image=None,
+            )
+        if ttype == "bitmap":
+            img = spec.get("bitmap")
+            if img is None and "filename" in spec:
+                from mitsuba_customization_tpu.utils.io import read_image
+
+                img = read_image(spec["filename"])
+            return dict(
+                type=tex_mod.BITMAP,
+                uv_scale=spec.get("uv_scale", (1.0, 1.0)),
+                image=np.asarray(img, np.float32),
+            )
+        raise ValueError(f"unsupported texture type '{ttype}'")
 
     def compile_bsdf(bd: Any) -> int:
         """Returns material id; caches named references."""
@@ -320,6 +373,15 @@ def load_dict(d: dict) -> Scene:
             return np.full(3, val, np.float32) if val.ndim == 0 else val
 
         if btype == "diffuse":
+            refl = bd.get("reflectance", [0.5, 0.5, 0.5])
+            if isinstance(refl, dict) and refl.get("type") in (
+                "bitmap", "checkerboard",
+            ):
+                # spatially-varying reflectance -> textured kernel
+                texture_rows.append(compile_texture_row(refl))
+                mat_types.append(bsdf_mod.TEXTURED_DIFFUSE)
+                mat_slots.append(len(texture_rows) - 1)
+                return len(mat_types) - 1
             kid = bsdf_mod.DIFFUSE
             params = diffuse_mod.DiffuseParams(
                 reflectance=rgb("reflectance", [0.5, 0.5, 0.5])
@@ -375,6 +437,12 @@ def load_dict(d: dict) -> Scene:
                     "specular_transmittance", [1, 1, 1]
                 ),
             )
+        elif btype == "null":
+            # Pass-through boundary (mitsuba3 src/bsdfs/null.cpp); used to
+            # bound participating media. No parameters.
+            mat_types.append(bsdf_mod.NULL)
+            mat_slots.append(0)
+            return len(mat_types) - 1
         elif btype in ("merl", "measured_custom"):
             kid = bsdf_mod.TABULATED
             if "table" in bd:
@@ -401,6 +469,53 @@ def load_dict(d: dict) -> Scene:
         mat_slots.append(len(stacks[kid]) - 1)
         return len(mat_types) - 1
 
+    # --- medium compilation state ---
+    media_rows: list[dict] = []
+    named_media: dict[str, int] = {}
+    shape_interior: list[int] = []  # per shape id, medium index or -1
+
+    def compile_medium(md: Any) -> int:
+        """Compile a medium description (or named reference) to an id."""
+        if isinstance(md, str):
+            if md not in named_media:
+                raise ValueError(f"unknown medium reference '{md}'")
+            return named_media[md]
+        mtype = md.get("type", "homogeneous")
+        if mtype not in _MEDIUM_TYPES:
+            raise ValueError(f"unsupported medium type '{mtype}'")
+        phase = md.get("phase", {"type": "isotropic"})
+        ptype = _PHASE_TYPES[phase.get("type", "isotropic")]
+        scale = float(md.get("scale", 1.0))
+
+        def rgb3(key, default):
+            val = md.get(key, default)
+            if isinstance(val, dict):
+                val = val.get("value", default)
+            val = np.asarray(val, dtype=np.float32)
+            return np.full(3, val, np.float32) if val.ndim == 0 else val
+
+        row = dict(
+            type=mtype,
+            sigma_t=rgb3("sigma_t", [1.0, 1.0, 1.0]) * scale,
+            albedo=rgb3("albedo", [0.75, 0.75, 0.75]),
+            phase_type=ptype,
+            phase_g=float(phase.get("g", 0.0)),
+            density=None,
+            to_world=None,
+        )
+        if mtype == "heterogeneous":
+            dens = md.get("density")
+            if isinstance(dens, dict):  # gridvolume form
+                row["to_world"] = _as_transform(dens.get("to_world"))
+                dens = dens.get("grid")
+            else:
+                row["to_world"] = _as_transform(md.get("to_world"))
+            if dens is None:
+                raise ValueError("heterogeneous medium needs a density grid")
+            row["density"] = np.asarray(dens, dtype=np.float32)
+        media_rows.append(row)
+        return len(media_rows) - 1
+
     # --- emitter compilation state ---
     em_rows = []  # dicts per emitter
     env_image = None
@@ -425,17 +540,19 @@ def load_dict(d: dict) -> Scene:
         t = val.get("type")
         if t in _BSDF_TYPES:
             named_bsdfs[key] = compile_bsdf(val)
+        elif t in _MEDIUM_TYPES:
+            named_media[key] = compile_medium(val)
 
     # Pass 2: everything else.
     for key, val in d.items():
         if key == "type" or not isinstance(val, dict):
             continue
         t = val.get("type")
-        if t in _BSDF_TYPES:
+        if t in _BSDF_TYPES or t in _MEDIUM_TYPES:
             continue  # handled
         if key == "integrator" or t in (
             "path", "direct", "depth", "aov", "aov_normals", "ptracer",
-            "volpath", "moment",
+            "volpath", "volpathmis", "moment",
         ):
             cfg.integrator = val.get("type", "path")
             cfg.max_depth = int(val.get("max_depth", cfg.max_depth))
@@ -563,6 +680,10 @@ def load_dict(d: dict) -> Scene:
                 gb.add_mesh(v, f, n, uv, mat_id, emitter_id, shape_count)
             if emitter_id >= 0:
                 emissive_prim_ranges.append((emitter_id, prim_start, gb.count))
+            # interior participating medium (mitsuba3 <medium name="interior">)
+            shape_interior.append(
+                compile_medium(val["interior"]) if "interior" in val else -1
+            )
             shape_count += 1
             continue
         raise ValueError(f"unrecognized scene entry '{key}' (type={t})")
@@ -578,6 +699,10 @@ def load_dict(d: dict) -> Scene:
     if tab_tables:
         kernel_stacks[bsdf_mod.TABULATED] = TabulatedBRDF.build_stack(
             jnp.asarray(np.stack(tab_tables))
+        )
+    if texture_rows:
+        kernel_stacks[bsdf_mod.TEXTURED_DIFFUSE] = tex_mod.build_stack(
+            texture_rows
         )
     if not mat_types:
         mat_types, mat_slots = [bsdf_mod.DIFFUSE], [0]
@@ -598,12 +723,28 @@ def load_dict(d: dict) -> Scene:
     cfg.use_bvh = gb.count > BRUTE_FORCE_MAX_PRIMS
     tree = bvh_mod.build(geometry) if cfg.use_bvh else _dummy_bvh()
 
+    media = medium_mod.build_table(media_rows, shape_interior, shape_count)
+
+    # Shadow geometry: null-material prims squashed to degenerate prims so
+    # ray_test passes through medium boundaries (Scene.ray_test docstring).
+    shadow_geom = None
+    mat_types_np = np.asarray(mat_types, np.int32)
+    if (mat_types_np == bsdf_mod.NULL).any():
+        prim_null = mat_types_np[np.asarray(geometry.mat_id)] == bsdf_mod.NULL
+        mask3 = jnp.asarray(~prim_null[:, None])
+        shadow_geom = geometry._replace(
+            e1=jnp.where(mask3, geometry.e1, 0.0),
+            e2=jnp.where(mask3, geometry.e2, 0.0),
+        )
+
     return Scene(
         geometry=geometry,
         bvh=tree,
         bsdfs=bsdfs,
         emitters=emitters,
         sensor=sensor,
+        media=media,
+        shadow_geometry=shadow_geom,
         config=cfg,
     )
 
