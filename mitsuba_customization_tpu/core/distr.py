@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 _TINY = 1e-20
@@ -36,18 +37,64 @@ def _searchsorted(cdf, u):
     return jnp.clip(idx, 0, cdf.shape[-1] - 1)
 
 
-def _gather_last(arr, idx):
-    """arr (..., K) gathered at idx (...) -> (...); leading dims broadcast.
+_BIG = 3e38
 
-    Supports both a shared table queried with batched indices and fully
-    batched tables (per-lane slices).
+
+def _invert_cdf(cdf, u):
+    """CDF inversion without per-lane gathers: (idx, lo, mass).
+
+    idx = smallest i with cdf[i] >= u; lo = cdf[idx-1] (0 at idx 0);
+    mass = cdf[idx] - lo. All three come from masked reductions over the
+    (..., K) row — pure VPU work, no dynamic indexing (the measured-on-chip
+    design rule: per-lane gathers run ~1000x slower than compares/reduces
+    on TPU v5e, so every inversion is a compare+reduce).
     """
+    below = cdf < u[..., None]
+    idx = jnp.clip(
+        jnp.sum(below.astype(jnp.int32), axis=-1), 0, cdf.shape[-1] - 1
+    )
+    lo = jnp.max(jnp.where(below, cdf, 0.0), axis=-1)
+    hi = jnp.min(jnp.where(below, _BIG, cdf), axis=-1)
+    hi = jnp.where(hi >= _BIG, cdf[..., -1], hi)
+    # u beyond cdf[-1] (fp slack at the top): collapse to the last cell
+    lo = jnp.minimum(lo, hi)
+    return idx, lo, hi - lo
+
+
+def _select_at(rows, idx):
+    """rows (..., K) at per-lane idx (...) -> (...) via iota-compare+sum.
+
+    Gather-free per-lane selection from an already-materialized row (the
+    row itself comes from a cheap contiguous row-gather).
+    """
+    k = rows.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, rows.shape, rows.ndim - 1)
+    return jnp.sum(
+        jnp.where(iota == idx[..., None], rows, 0.0), axis=-1
+    )
+
+
+def _gather_last(arr, idx):
+    """arr (..., K) gathered at idx (...) -> (...).
+
+    Shared 1-D table: a native small-table gather (fast tier on TPU).
+    Per-lane rows: iota-compare+sum (_select_at) — no per-lane column
+    gather, which is the slow class on v5e.
+    """
+    if arr.ndim == 1:
+        return arr[jnp.clip(idx, 0, arr.shape[0] - 1)]
     arr_b = jnp.broadcast_to(arr, idx.shape + arr.shape[-1:])
-    return jnp.take_along_axis(arr_b, idx[..., None], axis=-1)[..., 0]
+    return _select_at(arr_b, idx)
 
 
 def _gather_row(arr, idx):
-    """arr (..., H, W) gathered at row idx (...) -> (..., W); broadcasts."""
+    """arr (..., H, W) gathered at row idx (...) -> (..., W).
+
+    Shared 2-D table: contiguous row-gather (fast). Batched tables fall
+    back to the broadcast path (callers keep H*W small there).
+    """
+    if arr.ndim == 2:
+        return arr[jnp.clip(idx, 0, arr.shape[0] - 1)]
     arr_b = jnp.broadcast_to(arr, idx.shape + arr.shape[-2:])
     return jnp.take_along_axis(arr_b, idx[..., None, None], axis=-2)[..., 0, :]
 
@@ -99,12 +146,8 @@ class DiscreteDistribution(NamedTuple):
         Mirrors DiscreteDistribution::sample_reuse — the returned u' is
         uniform in [0,1) again, so one random dimension is recycled.
         """
-        pmf, cdf = self._rows(slice_)
-        idx = _searchsorted(cdf, u)
-        lo = jnp.where(
-            idx > 0, _gather_last(cdf, jnp.maximum(idx - 1, 0)), 0.0
-        )
-        p = _gather_last(pmf, idx)
+        _, cdf = self._rows(slice_)
+        idx, lo, p = _invert_cdf(cdf, u)
         u2 = jnp.clip((u - lo) / jnp.maximum(p, _TINY), 0.0, 1.0 - 1e-7)
         return idx, u2
 
@@ -140,11 +183,7 @@ class ContinuousDistribution(NamedTuple):
     def sample(self, u):
         """u in [0,1) -> x in [0,1), continuous (uniform within cell)."""
         k = self.pdf.shape[-1]
-        idx = _searchsorted(self.cdf, u)
-        lo = jnp.where(
-            idx > 0, _gather_last(self.cdf, jnp.maximum(idx - 1, 0)), 0.0
-        )
-        mass = _gather_last(self.cdf, idx) - lo
+        idx, lo, mass = _invert_cdf(self.cdf, u)
         frac = jnp.clip((u - lo) / jnp.maximum(mass, _TINY), 0.0, 1.0 - 1e-7)
         return (idx.astype(jnp.float32) + frac) / k
 
@@ -212,35 +251,46 @@ class Marginal2D(NamedTuple):
         h, w = self.pdf.shape[-2], self.pdf.shape[-1]
         u_row, u_col = sample2[..., 0], sample2[..., 1]
 
+        # Per-lane table rows via one contiguous row-gather each; the
+        # inversions are masked reductions (_invert_cdf) and the sample's
+        # pdf falls out of the CDF masses — zero per-lane scalar gathers.
         cdf_row = self.cdf_row if slice_ is None else self.cdf_row[slice_]
-        row = _searchsorted(cdf_row, u_row)
-        row_lo = jnp.where(
-            row > 0, _gather_last(cdf_row, jnp.maximum(row - 1, 0)), 0.0
-        )
-        row_mass = _gather_last(cdf_row, row) - row_lo
+        row, row_lo, row_mass = _invert_cdf(cdf_row, u_row)
         dy = jnp.clip((u_row - row_lo) / jnp.maximum(row_mass, _TINY), 0.0, 1.0 - 1e-7)
 
         if slice_ is None:
             cond = _gather_row(self.cdf_cond, row)  # (..., W)
         else:
-            cond = self.cdf_cond[slice_ + (row,)]  # (..., W), one gather
-        col = _searchsorted(cond, u_col)
-        col_lo = jnp.where(
-            col > 0, _gather_last(cond, jnp.maximum(col - 1, 0)), 0.0
-        )
-        col_mass = _gather_last(cond, col) - col_lo
+            cond = self.cdf_cond[slice_ + (row,)]  # (..., W), one row-gather
+        col, col_lo, col_mass = _invert_cdf(cond, u_col)
         dx = jnp.clip((u_col - col_lo) / jnp.maximum(col_mass, _TINY), 0.0, 1.0 - 1e-7)
 
         y = (row.astype(jnp.float32) + dy) / h
         x = (col.astype(jnp.float32) + dx) / w
         pos = jnp.stack([y, x], axis=-1)
-        return pos, self.eval_pdf(pos, slice_=slice_)
+        # pdf(cell) = row_mass * cond_mass * H * W (cdf diffs — no lookup)
+        pdf = row_mass * col_mass * (h * w)
+        return pos, pdf
 
     def eval_pdf(self, pos, slice_=None):
-        """Density at pos (..., 2) = (y, x) in [0,1)^2."""
+        """Density at pos (..., 2) = (y, x) in [0,1)^2.
+
+        Computed from CDF differences at the cell (gather-free per lane):
+        pdf = (cdf_row[r] - cdf_row[r-1]) * (cond[r, c] - cond[r, c-1]) * HW.
+        """
         h, w = self.pdf.shape[-2], self.pdf.shape[-1]
         row = jnp.clip((pos[..., 0] * h).astype(jnp.int32), 0, h - 1)
         col = jnp.clip((pos[..., 1] * w).astype(jnp.int32), 0, w - 1)
+        cdf_row = self.cdf_row if slice_ is None else self.cdf_row[slice_]
+        cdf_row = jnp.broadcast_to(cdf_row, row.shape + cdf_row.shape[-1:])
+        row_mass = _select_at(cdf_row, row) - _select_at(
+            cdf_row, jnp.maximum(row - 1, 0)
+        ) * (row > 0)
         if slice_ is None:
-            return _gather_last(_gather_row(self.pdf, row), col)
-        return self.pdf[slice_ + (row, col)]
+            cond = _gather_row(self.cdf_cond, row)
+        else:
+            cond = self.cdf_cond[slice_ + (row,)]
+        col_mass = _select_at(cond, col) - _select_at(
+            cond, jnp.maximum(col - 1, 0)
+        ) * (col > 0)
+        return row_mass * col_mass * (h * w)

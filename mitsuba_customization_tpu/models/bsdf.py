@@ -29,11 +29,14 @@ from mitsuba_customization_tpu.models import (
     conductor,
     dielectric,
     diffuse,
+    passthrough,
     plastic,
     roughconductor,
+    roughdielectric,
     roughplastic,
     tabulated,
     textured_diffuse,
+    thindielectric,
 )
 
 # Kernel enum — stable ids (cited in render/integrator.py dispatch).
@@ -47,6 +50,10 @@ ROUGHCONDUCTOR_BECKMANN = 6  # same params, Beckmann NDF (static choice)
 PLASTIC = 7
 ROUGHPLASTIC = 8
 TEXTURED_DIFFUSE = 9  # diffuse with bitmap/checkerboard reflectance
+ROUGHDIELECTRIC = 10  # Walter 2007 microfacet transmission
+THINDIELECTRIC = 11  # thin slab delta
+PASSTHROUGH = 12  # delta transparency (mask's transparent component)
+BLEND = 13  # two-child mixture (blendbsdf/mask) — resolved pre-dispatch
 
 KERNEL_NAMES = {
     DIFFUSE: "diffuse",
@@ -59,6 +66,10 @@ KERNEL_NAMES = {
     PLASTIC: "plastic",
     ROUGHPLASTIC: "roughplastic",
     TEXTURED_DIFFUSE: "textured_diffuse",
+    ROUGHDIELECTRIC: "roughdielectric",
+    THINDIELECTRIC: "thindielectric",
+    PASSTHROUGH: "passthrough",
+    BLEND: "blend",
 }
 
 
@@ -96,32 +107,71 @@ _MODULES = {
     PLASTIC: plastic,
     ROUGHPLASTIC: roughplastic,
     TEXTURED_DIFFUSE: textured_diffuse,
+    ROUGHDIELECTRIC: roughdielectric,
+    THINDIELECTRIC: thindielectric,
+    PASSTHROUGH: passthrough,
 }
 
 # Kernels whose sample() is a Dirac delta (NEE skips them; no MIS weight).
-DELTA_KERNELS = frozenset([CONDUCTOR, DIELECTRIC, NULL])
+DELTA_KERNELS = frozenset(
+    [CONDUCTOR, DIELECTRIC, NULL, THINDIELECTRIC, PASSTHROUGH]
+)
 # Kernels that can transmit (two-sided transport).
-TRANSMISSIVE_KERNELS = frozenset([DIELECTRIC, NULL])
+TRANSMISSIVE_KERNELS = frozenset(
+    [DIELECTRIC, NULL, ROUGHDIELECTRIC, THINDIELECTRIC, PASSTHROUGH]
+)
 
 
 class BSDFTable(NamedTuple):
-    """All materials of a scene, compiled for masked static dispatch."""
+    """All materials of a scene, compiled for masked static dispatch.
+
+    Blend materials (blendbsdf/mask — mitsuba3 src/bsdfs/{blendbsdf,mask}
+    .cpp) carry kernel id BLEND plus two child material ids and a mixture
+    weight; the public eval/pdf/sample resolve them to a one-sample
+    balance-heuristic mixture over the children (children may not
+    themselves be blends — enforced at scene compile). blend_* are None
+    when the scene has no blends (static fast path).
+    """
 
     mat_type: jnp.ndarray  # (M,) int32 kernel ids
     mat_slot: jnp.ndarray  # (M,) int32 index into the kernel's stack
     stacks: Dict[int, Any]  # kernel id -> stacked params pytree
+    blend_a: Any = None  # (M,) int32 child id (self for non-blends)
+    blend_b: Any = None  # (M,) int32
+    blend_w: Any = None  # (M,) weight of child b
 
     @property
     def present_kernels(self):
         return sorted(self.stacks.keys())
 
     def is_delta(self, mat_id):
-        """Per-lane: does this material sample a delta lobe?"""
+        """Per-lane: does this material sample a delta lobe?
+
+        Blends count as delta only if both children are delta."""
         t = self.mat_type[mat_id]
-        out = jnp.zeros(t.shape, dtype=bool)
-        for k in DELTA_KERNELS:
-            out = jnp.logical_or(out, t == k)
+
+        def kernel_delta(types):
+            out = jnp.zeros(types.shape, dtype=bool)
+            for k in DELTA_KERNELS:
+                out = jnp.logical_or(out, types == k)
+            return out
+
+        out = kernel_delta(t)
+        if self.blend_a is not None:
+            is_b = t == BLEND
+            da = kernel_delta(self.mat_type[self.blend_a[mat_id]])
+            db = kernel_delta(self.mat_type[self.blend_b[mat_id]])
+            out = jnp.where(is_b, da & db, out)
         return out
+
+    def resolve_children(self, mat_id):
+        """(child_a, child_b, w, is_blend): identity for non-blends."""
+        t = self.mat_type[mat_id]
+        is_b = t == BLEND
+        a = jnp.where(is_b, self.blend_a[mat_id], mat_id)
+        b = jnp.where(is_b, self.blend_b[mat_id], mat_id)
+        w = jnp.where(is_b, self.blend_w[mat_id], 0.0)
+        return a, b, w, is_b
 
 
 def _gather_params(stack, slot):
@@ -136,17 +186,22 @@ def _dispatch(table: BSDFTable, mat_id, fn_name, wi, *args, uv=None,
     slot = table.mat_slot[mat_id]
     out = None
     for kid in table.present_kernels:
-        if kid == NULL:
+        if kid in (NULL, BLEND):
             continue
         mod = _MODULES[kid]
         mask = t == kid
         slot_safe = jnp.where(mask, slot, 0)
         if getattr(mod, "NEEDS_SLOT", kid == TABULATED):
             # Big stacked tensors (MERL tables, texture atlases): slot-aware
-            # gather inside the kernel, never materialized per lane.
+            # gather inside the kernel, never materialized per lane. The
+            # lane mask lets the kernel clamp masked-out lanes to one hot
+            # row so they don't generate random HBM traffic (run-all-mask
+            # dispatch otherwise pays the gather for every lane).
             extra = dict(kwargs)
             if getattr(mod, "NEEDS_UV", False):
                 extra["uv"] = uv
+            if getattr(mod, "NEEDS_MASK", False):
+                extra["mask"] = mask
             res = getattr(mod, fn_name)(
                 table.stacks[kid], wi, *args, slot=slot_safe, **extra
             )
@@ -181,11 +236,21 @@ def _dispatch(table: BSDFTable, mat_id, fn_name, wi, *args, uv=None,
 
 def eval(table: BSDFTable, mat_id, wi, wo, uv=None):
     """f(wi, wo) * cos(theta_o) for each lane's material."""
-    return _dispatch(table, mat_id, "eval", wi, wo, uv=uv)
+    if table.blend_a is None:
+        return _dispatch(table, mat_id, "eval", wi, wo, uv=uv)
+    a, b, w, _ = table.resolve_children(mat_id)
+    f_a = _dispatch(table, a, "eval", wi, wo, uv=uv)
+    f_b = _dispatch(table, b, "eval", wi, wo, uv=uv)
+    return (1.0 - w)[..., None] * f_a + w[..., None] * f_b
 
 
 def pdf(table: BSDFTable, mat_id, wi, wo, uv=None):
-    return _dispatch(table, mat_id, "pdf", wi, wo, uv=uv)
+    if table.blend_a is None:
+        return _dispatch(table, mat_id, "pdf", wi, wo, uv=uv)
+    a, b, w, _ = table.resolve_children(mat_id)
+    p_a = _dispatch(table, a, "pdf", wi, wo, uv=uv)
+    p_b = _dispatch(table, b, "pdf", wi, wo, uv=uv)
+    return (1.0 - w) * p_a + w * p_b
 
 
 def sample(table: BSDFTable, mat_id, wi, sample2, sample1=None, uv=None):
@@ -194,8 +259,50 @@ def sample(table: BSDFTable, mat_id, wi, sample2, sample1=None, uv=None):
     sampled_delta is per *sample*, not per material: hybrid BSDFs (plastic)
     emit delta or smooth lobes lane by lane (BSDFSample3f.sampled_type in
     the reference).
+
+    Blends: one-sample mixture — pick a child with probability equal to
+    its mixture weight; smooth samples are re-weighted with the balance
+    heuristic f_mix/p_mix, delta samples keep the child's analytic weight
+    (selection probability cancels the mixture coefficient, as in
+    mitsuba3 blendbsdf.cpp).
     """
-    return _dispatch(table, mat_id, "sample", wi, sample2, sample1, uv=uv)
+    if table.blend_a is None:
+        return _dispatch(table, mat_id, "sample", wi, sample2, sample1, uv=uv)
+    a, b, w, is_blend = table.resolve_children(mat_id)
+    if sample1 is None:
+        sample1 = sample2[..., 0]
+    pick_b = is_blend & (sample1 < w)
+    child = jnp.where(pick_b, b, a)
+    # rescale the lobe sample for the child's own lobe selection
+    denom_a = jnp.maximum(1.0 - w, 1e-8)
+    u1 = jnp.where(
+        pick_b,
+        sample1 / jnp.maximum(w, 1e-8),
+        jnp.where(is_blend, (sample1 - w) / denom_a, sample1),
+    )
+    u1 = jnp.clip(u1, 0.0, 1.0 - 1e-7)
+    wo, p_c, w_c, delta_c = _dispatch(
+        table, child, "sample", wi, sample2, u1, uv=uv
+    )
+    # balance-heuristic reweighting for smooth samples on blend lanes
+    f_mix = eval(table, mat_id, wi, wo, uv=uv)
+    p_mix = pdf(table, mat_id, wi, wo, uv=uv)
+    import mitsuba_customization_tpu.core.math as _m
+
+    w_bal = _m.safe_div(f_mix, p_mix[..., None])
+    sel = jnp.where(pick_b, w, jnp.where(is_blend, 1.0 - w, 1.0))
+    use_bal = is_blend & jnp.logical_not(delta_c)
+    weight = jnp.where(use_bal[..., None], w_bal, w_c)
+    p_out = jnp.where(
+        use_bal, p_mix, jnp.where(is_blend, p_c * sel, p_c)
+    )
+    ok = p_out > 0.0
+    return (
+        wo,
+        jnp.where(ok, p_out, 0.0),
+        jnp.where(ok[..., None], weight, 0.0),
+        delta_c,
+    )
 
 
 def eval_pdf(table: BSDFTable, mat_id, wi, wo, uv=None):

@@ -116,5 +116,7 @@ def splat(values, pixel_xy, height, width, filter_type):
 
 def develop_box(values, height, width, spp):
     """Fast path: lanes are pixel-major (H*W*spp ordering), box filter =
-    mean over the spp axis. The default for every baseline config."""
-    return values.reshape(height, width, spp, 3).mean(axis=2)
+    mean over the spp axis. The default for every baseline config.
+    Channel count is free (3 for radiance; 6 for the moment integrator)."""
+    c = values.shape[-1]
+    return values.reshape(height, width, spp, c).mean(axis=2)

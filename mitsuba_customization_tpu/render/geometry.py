@@ -122,11 +122,19 @@ def intersect_brute(geom: Geometry, ray: Ray):
         prim_idx=None,
     )  # (N, P) via broadcast
     t = jnp.where(t < ray.maxt[..., None], t, jnp.inf)
-    best = jnp.argmin(t, axis=-1)
-    t_best = jnp.take_along_axis(t, best[..., None], -1)[..., 0]
-    u_best = jnp.take_along_axis(u, best[..., None], -1)[..., 0]
-    v_best = jnp.take_along_axis(v, best[..., None], -1)[..., 0]
-    prim = jnp.where(jnp.isinf(t_best), -1, best.astype(jnp.int32))
+    # Masked reductions instead of argmin + take_along_axis: per-lane
+    # column selection is ~1000x slower than compares/reduces on TPU v5e
+    # (core/distr.py design rule), and P is small here.
+    t_best = jnp.min(t, axis=-1)
+    p_count = t.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, t.shape, t.ndim - 1)
+    is_best = t == t_best[..., None]
+    big = jnp.int32(2**30)
+    best = jnp.min(jnp.where(is_best, iota, big), axis=-1)
+    first = iota == best[..., None]
+    u_best = jnp.sum(jnp.where(first, u, 0.0), axis=-1)
+    v_best = jnp.sum(jnp.where(first, v, 0.0), axis=-1)
+    prim = jnp.where(jnp.isinf(t_best), -1, jnp.minimum(best, p_count - 1))
     return t_best, prim, u_best, v_best
 
 

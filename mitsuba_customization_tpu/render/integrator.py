@@ -457,14 +457,35 @@ def render_lanes(scene, spp, seed, integrator=None, max_depth=None,
     film_uv = film_xy / jnp.asarray([w, h], dtype=jnp.float32)
     ray0 = sample_ray(scene.sensor, film_uv, aperture, w / h)
 
+    one_ray = {"rays_per_bounce": jnp.asarray([n], jnp.uint32)}
     if integrator == "depth":
         si = scene.ray_intersect(ray0)
         L = jnp.where(si.valid, si.t, 0.0)[..., None] * jnp.ones(3)
-        return L, film_xy, {"rays_per_bounce": jnp.asarray([n], jnp.uint32)}
-    if integrator == "aov_normals":
+        return L, film_xy, one_ray
+    if integrator in ("aov", "aov_normals"):
+        # sh_normal AOV (mitsuba3 src/integrators/aov.cpp "sh_normal")
         si = scene.ray_intersect(ray0)
         L = jnp.where(si.valid[..., None], si.frame.n * 0.5 + 0.5, 0.0)
-        return L, film_xy, {"rays_per_bounce": jnp.asarray([n], jnp.uint32)}
+        return L, film_xy, one_ray
+    if integrator == "aov_position":
+        si = scene.ray_intersect(ray0)
+        L = jnp.where(si.valid[..., None], si.p, 0.0)
+        return L, film_xy, one_ray
+    if integrator == "aov_uv":
+        si = scene.ray_intersect(ray0)
+        uv3 = jnp.concatenate(
+            [si.uv, jnp.zeros(si.uv.shape[:-1] + (1,))], axis=-1
+        )
+        L = jnp.where(si.valid[..., None], uv3, 0.0)
+        return L, film_xy, one_ray
+    if integrator == "moment":
+        # mitsuba3 src/integrators/moment.cpp: radiance + its second
+        # moment (for variance estimation); (..., 6) = [L, L^2]
+        L, stats = trace_paths(
+            scene, ray0, smp, max_depth, cfg.rr_depth, cfg.hide_emitters,
+            ad_mode=ad_mode,
+        )
+        return jnp.concatenate([L, L * L], axis=-1), film_xy, stats
 
     use_vol = (
         integrator in ("volpath", "volpathmis")
@@ -504,6 +525,7 @@ def render(scene, spp=None, seed=0, integrator=None, max_depth=None,
     hw = h * w
     chunk = _chunk_spp(hw, spp)
     n_pass = spp // chunk
+    n_chan = 6 if (integrator or cfg.integrator) == "moment" else 3
 
     pixel = jnp.repeat(
         jnp.arange(hw, dtype=jnp.uint32), chunk, total_repeat_length=hw * chunk
@@ -546,7 +568,7 @@ def render(scene, spp=None, seed=0, integrator=None, max_depth=None,
     if cfg.rfilter == "box":
         (total, _, rays), _ = jax.lax.scan(
             body,
-            (jnp.zeros((h, w, 3)), None, jnp.float32(0.0)),
+            (jnp.zeros((h, w, n_chan)), None, jnp.float32(0.0)),
             jnp.arange(n_pass),
         )
         return finish(total / n_pass, None, rays)

@@ -216,7 +216,10 @@ def sample_interaction(table: MediumTable, mid, ray_o, ray_d, t_max,
     u_ch = _draw(seed, lane, dim_base)
     u_t = _draw(seed, lane, dim_base + _U32(1))
     ch = jnp.minimum((u_ch * 3).astype(jnp.int32), 2)
-    sig_ch = jnp.take_along_axis(sig, ch[..., None], axis=-1)[..., 0]
+    # 3-way channel select without a per-lane gather (TPU-slow op class)
+    sig_ch = jnp.where(
+        ch == 0, sig[..., 0], jnp.where(ch == 1, sig[..., 1], sig[..., 2])
+    )
     t_hom = -jnp.log1p(-jnp.clip(u_t, 0.0, 1.0 - 1e-7)) / jnp.maximum(
         sig_ch, 1e-20
     )

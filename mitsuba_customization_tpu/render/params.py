@@ -32,7 +32,10 @@ def traverse(scene):
             params[f"bsdf.{kname}.table"] = stack.table
         else:
             for field, value in zip(stack._fields, stack):
-                params[f"bsdf.{kname}.{field}"] = value
+                # only float leaves are parameters (texture slot/dims
+                # bindings and other int fields are structural)
+                if hasattr(value, "dtype") and value.dtype.kind == "f":
+                    params[f"bsdf.{kname}.{field}"] = value
     params["emitter.radiance"] = scene.emitters.radiance
     if int(scene.emitters.env_index) >= 0:
         params["emitter.env_image"] = scene.emitters.env_image

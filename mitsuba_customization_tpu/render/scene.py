@@ -33,7 +33,10 @@ from mitsuba_customization_tpu.models import measured_custom as custom_mod
 from mitsuba_customization_tpu.models import microfacet as mf
 from mitsuba_customization_tpu.models import plastic as plastic_mod
 from mitsuba_customization_tpu.models import roughconductor as rough_mod
+from mitsuba_customization_tpu.models import roughdielectric as roughdielectric_mod
 from mitsuba_customization_tpu.models import roughplastic as roughplastic_mod
+from mitsuba_customization_tpu.models import thindielectric as thindielectric_mod
+from mitsuba_customization_tpu.models import passthrough as passthrough_mod
 from mitsuba_customization_tpu.models.tabulated import TabulatedBRDF
 from mitsuba_customization_tpu.models import phase as phase_mod
 from mitsuba_customization_tpu.models import texture as tex_mod
@@ -301,7 +304,8 @@ _PHASE_TYPES = {
 }
 _BSDF_TYPES = {
     "diffuse", "conductor", "roughconductor", "dielectric", "thindielectric",
-    "merl", "measured_custom", "twosided", "null", "plastic", "roughplastic",
+    "roughdielectric", "merl", "measured_custom", "twosided", "null",
+    "plastic", "roughplastic", "blendbsdf", "mask", "passthrough",
 }
 
 
@@ -319,6 +323,7 @@ def load_dict(d: dict) -> Scene:
     stacks: dict[int, list] = {}
     tab_tables: list[np.ndarray] = []
     texture_rows: list[dict] = []  # textured-diffuse bindings
+    blend_entries: dict[int, tuple] = {}  # mat id -> (child_a, child_b, w)
 
     def compile_texture_row(spec) -> dict:
         """Texture dict -> a models/texture.py build_stack row."""
@@ -358,6 +363,52 @@ def load_dict(d: dict) -> Scene:
                 raise ValueError(f"unknown bsdf reference '{bd}'")
             return named_bsdfs[bd]
         btype = bd.get("type", "diffuse")
+        if btype in ("blendbsdf", "mask"):
+            # two-child mixtures (mitsuba3 blendbsdf.cpp / mask.cpp):
+            # compile both children, register a BLEND material that the
+            # dispatch layer resolves per lane (models/bsdf.py).
+            if btype == "blendbsdf":
+                kids = [
+                    v for k, v in bd.items()
+                    if isinstance(v, dict) and v.get("type") in _BSDF_TYPES
+                ]
+                if len(kids) != 2:
+                    raise ValueError("blendbsdf needs exactly two child bsdfs")
+                child_a = compile_bsdf(kids[0])
+                child_b = compile_bsdf(kids[1])
+                wmix = float(bd.get("weight", 0.5))
+            else:  # mask: transparent with prob 1 - opacity
+                inner = bd.get("bsdf") or next(
+                    v for k, v in bd.items()
+                    if isinstance(v, dict) and v.get("type") in _BSDF_TYPES
+                )
+                child_b = compile_bsdf(inner)
+                op = bd.get("opacity", 0.5)
+                if isinstance(op, dict):
+                    op = op.get("value", 0.5)
+                op = np.asarray(op, np.float32)
+                wmix = float(op.mean())
+                child_a = compile_bsdf({"type": "passthrough"})
+            for c in (child_a, child_b):
+                if c in blend_entries:
+                    raise ValueError("nested blends are not supported")
+            mat_types.append(bsdf_mod.BLEND)
+            mat_slots.append(0)
+            mid_ = len(mat_types) - 1
+            blend_entries[mid_] = (child_a, child_b, wmix)
+            return mid_
+        if btype == "passthrough":
+            kid = bsdf_mod.PASSTHROUGH
+            tr = bd.get("transmittance", [1.0, 1.0, 1.0])
+            if isinstance(tr, dict):
+                tr = tr.get("value", [1.0, 1.0, 1.0])
+            tr = np.asarray(tr, np.float32)
+            tr = np.full(3, tr, np.float32) if tr.ndim == 0 else tr
+            params = passthrough_mod.PassthroughParams(transmittance=tr)
+            stacks.setdefault(kid, []).append(params)
+            mat_types.append(kid)
+            mat_slots.append(len(stacks[kid]) - 1)
+            return len(mat_types) - 1
         if btype == "twosided":
             inner = bd.get("bsdf") or next(
                 v for k, v in bd.items()
@@ -426,12 +477,35 @@ def load_dict(d: dict) -> Scene:
                 eta=np.float32(int_ior / ext_ior),
                 alpha=np.float32(bd.get("alpha", 0.1)),
             )
-        elif btype in ("dielectric", "thindielectric"):
+        elif btype == "dielectric":
             kid = bsdf_mod.DIELECTRIC
             int_ior = float(bd.get("int_ior", 1.5046))
             ext_ior = float(bd.get("ext_ior", 1.000277))
             params = dielectric_mod.DielectricParams(
                 eta=np.float32(int_ior / ext_ior),
+                specular_reflectance=rgb("specular_reflectance", [1, 1, 1]),
+                specular_transmittance=rgb(
+                    "specular_transmittance", [1, 1, 1]
+                ),
+            )
+        elif btype == "thindielectric":
+            kid = bsdf_mod.THINDIELECTRIC
+            int_ior = float(bd.get("int_ior", 1.5046))
+            ext_ior = float(bd.get("ext_ior", 1.000277))
+            params = thindielectric_mod.ThinDielectricParams(
+                eta=np.float32(int_ior / ext_ior),
+                specular_reflectance=rgb("specular_reflectance", [1, 1, 1]),
+                specular_transmittance=rgb(
+                    "specular_transmittance", [1, 1, 1]
+                ),
+            )
+        elif btype == "roughdielectric":
+            kid = bsdf_mod.ROUGHDIELECTRIC
+            int_ior = float(bd.get("int_ior", 1.5046))
+            ext_ior = float(bd.get("ext_ior", 1.000277))
+            params = roughdielectric_mod.RoughDielectricParams(
+                eta=np.float32(int_ior / ext_ior),
+                alpha=np.float32(bd.get("alpha", 0.1)),
                 specular_reflectance=rgb("specular_reflectance", [1, 1, 1]),
                 specular_transmittance=rgb(
                     "specular_transmittance", [1, 1, 1]
@@ -706,10 +780,27 @@ def load_dict(d: dict) -> Scene:
         )
     if not mat_types:
         mat_types, mat_slots = [bsdf_mod.DIFFUSE], [0]
+    if blend_entries:
+        mm = len(mat_types)
+        b_a = np.arange(mm, dtype=np.int32)
+        b_b = np.arange(mm, dtype=np.int32)
+        b_w = np.zeros(mm, np.float32)
+        for mid_, (ca, cb, wmix) in blend_entries.items():
+            b_a[mid_] = ca
+            b_b[mid_] = cb
+            b_w[mid_] = wmix
+        blend_arrays = (
+            jnp.asarray(b_a), jnp.asarray(b_b), jnp.asarray(b_w)
+        )
+    else:
+        blend_arrays = (None, None, None)
     bsdfs = bsdf_mod.BSDFTable(
         mat_type=jnp.asarray(mat_types, dtype=jnp.int32),
         mat_slot=jnp.asarray(mat_slots, dtype=jnp.int32),
         stacks=kernel_stacks,
+        blend_a=blend_arrays[0],
+        blend_b=blend_arrays[1],
+        blend_w=blend_arrays[2],
     )
 
     # --- finalize emitter table ---

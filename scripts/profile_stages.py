@@ -1,8 +1,11 @@
 """Stage-level TPU microbenchmark: where do the cycles go?
 
-Times each pipeline stage in isolation on 1M lanes (the per-pass wavefront)
-— the profiling surface the reference gets from dr.kernel_history
-(SURVEY.md §5.1). Run on the target device: python scripts/profile_stages.py
+Times each pipeline stage on 1M lanes (the per-pass wavefront) — the
+profiling surface the reference gets from dr.kernel_history (SURVEY.md
+§5.1). Each stage runs K times *inside one jitted dispatch* (chained
+through a carry) so the measurement amortizes away the host<->TPU tunnel
+round-trip (~30-60 ms on this link), which would otherwise swamp every
+stage. Run on the target device: python scripts/profile_stages.py
 """
 
 import time
@@ -22,16 +25,22 @@ from mitsuba_customization_tpu.render.records import Ray
 from mitsuba_customization_tpu.render import emitters as em_mod
 
 N = 1 << 20
+K = 20
 
 
-def bench(name, fn, *args, iters=10):
-    out = jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
+def bench(name, step, init, iters=3, k=K, lanes=N):
+    """step(carry, i) -> carry, repeated k times inside one dispatch."""
+    f = jax.jit(
+        lambda x0: jax.lax.fori_loop(0, k, lambda i, x: step(x, i), x0)
+    )
+    jax.block_until_ready(f(init))
+    ts = []
     for _ in range(iters):
-        out = jax.block_until_ready(fn(*args))
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:34s} {dt*1e3:9.2f} ms   {N/dt/1e6:10.1f} Mlanes/s")
-    return out
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(init))
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts) / k
+    print(f"{name:36s} {dt*1e3:9.3f} ms   {lanes/dt/1e6:10.1f} Mlanes/s")
 
 
 def main():
@@ -40,90 +49,105 @@ def main():
     key = jax.random.key(0)
 
     o = jnp.asarray(rng.uniform(-2, 2, (N, 3)), dtype=jnp.float32)
-    d = jnp.asarray(rng.normal(size=(N, 3)), dtype=jnp.float32)
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    ray = Ray.make(o, d)
-    wi = jnp.abs(d)
+    d0 = jnp.asarray(rng.normal(size=(N, 3)), dtype=jnp.float32)
+    d0 = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True)
+    wi = jnp.abs(d0)
     wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
-    wo = jnp.roll(wi, 1, axis=0)
     u2 = jax.random.uniform(key, (N, 2))
     u1 = jax.random.uniform(key, (N,))
     mat_id = jnp.asarray(rng.integers(0, 3, N), dtype=jnp.int32)
-
     smp = IndependentSampler(0, jnp.arange(N, dtype=jnp.uint32))
 
-    bench("sampler next_2d", jax.jit(lambda: smp.with_dim(8).next_2d()))
+    # Every step perturbs its input from the loop counter so XLA cannot
+    # hoist the body out of the loop, and returns a same-typed carry.
+    def vary(v, i):
+        return v * (1.0 + 1e-9 * i)
+
     bench(
-        "intersect_brute (4 prims)",
-        jax.jit(lambda r: geo.intersect_brute(scene.geometry, r)[0]),
-        ray,
+        "sampler next_2d",
+        lambda c, i: c + 1e-9 * smp.with_dim(2 * (0 * i)).next_2d().sum(-1)[:, None] * 0 + smp.with_dim(0).next_2d() * 1e-9,
+        u2,
     )
     bench(
-        "compute_interaction",
-        jax.jit(
-            lambda r: scene.ray_intersect(r).p
-        ),
-        ray,
+        "intersect_brute (5 prims)",
+        lambda c, i: vary(c, i) * 0.999
+        + 1e-9
+        * geo.intersect_brute(
+            scene.geometry, Ray.make(o * (1 + 1e-9 * i), vary(c, i) / jnp.linalg.norm(c, axis=-1, keepdims=True))
+        )[0][:, None],
+        d0,
+    )
+    bench(
+        "full interaction (intersect+frame)",
+        lambda c, i: vary(c, i) * 0.999
+        + 1e-9
+        * scene.ray_intersect(
+            Ray.make(o, vary(c, i) / jnp.linalg.norm(c, axis=-1, keepdims=True))
+        ).p,
+        d0,
     )
 
     tab = scene.bsdfs.stacks[bsdf_mod.TABULATED]
     slot = jnp.zeros(N, dtype=jnp.int32)
+
+    def unit(c):
+        return c / jnp.linalg.norm(c, axis=-1, keepdims=True)
+
     bench(
-        "merl eval (trilinear gather)",
-        jax.jit(lambda a, b: tabulated.eval(tab, a, b, slot=slot)),
-        wi, wo,
+        "merl eval (packed trilinear)",
+        lambda c, i: vary(c, i) * 0.999
+        + 1e-6 * tabulated.eval(tab, unit(vary(c, i)), wi, slot=slot),
+        d0,
     )
     bench(
         "merl pdf",
-        jax.jit(lambda a, b: tabulated.pdf(tab, a, b, slot=slot)),
-        wi, wo,
+        lambda c, i: vary(c, i) * 0.999
+        + 1e-6 * tabulated.pdf(tab, unit(vary(c, i)), wi, slot=slot)[:, None],
+        d0,
     )
     bench(
         "merl sample",
-        jax.jit(lambda a, u: tabulated.sample(tab, a, u, slot=slot)[0]),
-        wi, u2,
+        lambda c, i: vary(c, i) * 0.999
+        + 1e-6 * tabulated.sample(
+            tab, wi, jnp.abs(vary(c, i)[:, :2]) % 1.0, slot=slot
+        )[0],
+        d0,
     )
     bench(
         "bsdf dispatch eval (3 kernels)",
-        jax.jit(lambda m_, a, b: bsdf_mod.eval(scene.bsdfs, m_, a, b)),
-        mat_id, wi, wo,
-    )
-    bench(
-        "bsdf dispatch sample",
-        jax.jit(
-            lambda m_, a, u, v: bsdf_mod.sample(scene.bsdfs, m_, a, u, v)[0]
-        ),
-        mat_id, wi, u2, u1,
+        lambda c, i: vary(c, i) * 0.999
+        + 1e-6 * bsdf_mod.eval(scene.bsdfs, mat_id, unit(vary(c, i)), wi),
+        d0,
     )
     bench(
         "emitter sample_direction",
-        jax.jit(
-            lambda p, u: em_mod.sample_direction(
-                scene.emitters, scene.geometry, p, u
-            ).d
-        ),
-        o, jnp.concatenate([u2, u1[:, None]], -1),
+        lambda c, i: vary(c, i) * 0.999
+        + 1e-6
+        * em_mod.sample_direction(
+            scene.emitters, scene.geometry, o,
+            jnp.abs(vary(c, i)) % 1.0,
+        ).d,
+        d0,
     )
 
-    # full bounce reference: one path bounce via trace_paths at depth 1
     from mitsuba_customization_tpu.render.integrator import trace_paths
 
-    bench(
-        "full path depth=1",
-        jax.jit(
-            lambda r: trace_paths(scene, r, smp, 1, 5, False)[0]
-        ),
-        ray,
-        iters=5,
-    )
-    bench(
-        "full path depth=4",
-        jax.jit(
-            lambda r: trace_paths(scene, r, smp, 4, 5, False)[0]
-        ),
-        ray,
-        iters=5,
-    )
+    for depth in (1, 4):
+        bench(
+            f"full path depth={depth}",
+            lambda c, i, depth=depth: vary(c, i) * 0.999
+            + 1e-6
+            * trace_paths(
+                scene,
+                Ray.make(o, unit(vary(c, i))),
+                smp,
+                depth,
+                5,
+                False,
+            )[0],
+            d0,
+            k=5,
+        )
 
 
 if __name__ == "__main__":

@@ -34,9 +34,10 @@ def _scene(bsdf, res):
 def _interior_mask(res):
     yy, xx = np.meshgrid(np.arange(res), np.arange(res), indexing="ij")
     c = (res - 1) / 2
-    # radius in pixels of the sphere silhouette is ~res/2 * (1/4)/tan(20 deg)
-    # for this camera; stay well inside, and away from the jittered rim
-    return (xx - c) ** 2 + (yy - c) ** 2 < (0.5 * res) ** 2
+    # silhouette radius for this camera (dist 4, r 1, fov 40):
+    # tan(asin(1/4))/tan(20 deg) = 0.709 of the half-width -> 0.355*res px;
+    # stay well inside, away from the jittered rim
+    return (xx - c) ** 2 + (yy - c) ** 2 < (0.3 * res) ** 2
 
 
 def test_config0_diffuse_matches_reference():
