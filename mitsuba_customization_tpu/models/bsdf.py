@@ -139,6 +139,8 @@ class BSDFTable(NamedTuple):
     blend_a: Any = None  # (M,) int32 child id (self for non-blends)
     blend_b: Any = None  # (M,) int32
     blend_w: Any = None  # (M,) weight of child b
+    normal_tex: Any = None  # TextureStack of normal maps (models/normalmap)
+    nm_slot: Any = None  # (M,) int32 binding into normal_tex (-1 = none)
 
     @property
     def present_kernels(self):

@@ -22,6 +22,7 @@ from mitsuba_customization_tpu.core import math as m
 from mitsuba_customization_tpu.core.sampler import make_sampler
 from mitsuba_customization_tpu.models import bsdf as bsdf_mod
 from mitsuba_customization_tpu.models import phase as phase_mod
+from mitsuba_customization_tpu.models.normalmap import apply_normal_maps
 from mitsuba_customization_tpu.render import emitters as em_mod
 from mitsuba_customization_tpu.render import film as film_mod
 from mitsuba_customization_tpu.render import geometry as geo
@@ -96,6 +97,7 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
         smp = sampler.with_dim(CAMERA_DIMS + b.astype(jnp.uint32) * BOUNCE_DIMS)
 
         si = scene.ray_intersect(ray)
+        si = apply_normal_maps(scene.bsdfs, si)
         si = jax.tree_util.tree_map(jax.lax.stop_gradient, si)
         n_rays = jnp.sum(active.astype(jnp.uint32))
 
@@ -244,6 +246,7 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
         med_base = bu * MED_STRIDE
 
         si = scene.ray_intersect(ray)
+        si = apply_normal_maps(scene.bsdfs, si)
         si = jax.tree_util.tree_map(sg, si)
         n_rays = jnp.sum(active.astype(jnp.uint32))
         t_surf = jnp.where(si.valid, si.t, jnp.inf)
@@ -464,7 +467,7 @@ def render_lanes(scene, spp, seed, integrator=None, max_depth=None,
         return L, film_xy, one_ray
     if integrator in ("aov", "aov_normals"):
         # sh_normal AOV (mitsuba3 src/integrators/aov.cpp "sh_normal")
-        si = scene.ray_intersect(ray0)
+        si = apply_normal_maps(scene.bsdfs, scene.ray_intersect(ray0))
         L = jnp.where(si.valid[..., None], si.frame.n * 0.5 + 0.5, 0.0)
         return L, film_xy, one_ray
     if integrator == "aov_position":

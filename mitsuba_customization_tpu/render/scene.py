@@ -306,6 +306,7 @@ _BSDF_TYPES = {
     "diffuse", "conductor", "roughconductor", "dielectric", "thindielectric",
     "roughdielectric", "merl", "measured_custom", "twosided", "null",
     "plastic", "roughplastic", "blendbsdf", "mask", "passthrough",
+    "normalmap", "bumpmap",
 }
 
 
@@ -324,6 +325,8 @@ def load_dict(d: dict) -> Scene:
     tab_tables: list[np.ndarray] = []
     texture_rows: list[dict] = []  # textured-diffuse bindings
     blend_entries: dict[int, tuple] = {}  # mat id -> (child_a, child_b, w)
+    normal_rows: list[dict] = []  # normal-map textures
+    normal_bindings: dict[int, int] = {}  # mat id -> normal_rows index
 
     def compile_texture_row(spec) -> dict:
         """Texture dict -> a models/texture.py build_stack row."""
@@ -363,6 +366,47 @@ def load_dict(d: dict) -> Scene:
                 raise ValueError(f"unknown bsdf reference '{bd}'")
             return named_bsdfs[bd]
         btype = bd.get("type", "diffuse")
+        if btype in ("normalmap", "bumpmap"):
+            # frame-perturbing wrappers: compile the child, bind a normal
+            # texture to its material id (models/normalmap.py)
+            inner = bd.get("bsdf") or next(
+                v for k, v in bd.items()
+                if isinstance(v, dict) and v.get("type") in _BSDF_TYPES
+            )
+            mid_ = compile_bsdf(inner)
+            if btype == "normalmap":
+                img = bd.get("normalmap")
+                if isinstance(img, dict):
+                    if "filename" in img:
+                        from mitsuba_customization_tpu.utils.io import (
+                            read_image,
+                        )
+
+                        img = read_image(img["filename"])
+                    else:
+                        img = img.get("bitmap")
+            else:
+                from mitsuba_customization_tpu.models.normalmap import (
+                    bump_to_normal,
+                )
+
+                hm = bd.get("bumpmap") or bd.get("texture")
+                if isinstance(hm, dict):
+                    if "filename" in hm:
+                        from mitsuba_customization_tpu.utils.io import (
+                            read_image,
+                        )
+
+                        hm = read_image(hm["filename"])
+                    else:
+                        hm = hm.get("bitmap")
+                img = bump_to_normal(hm, scale=float(bd.get("scale", 1.0)))
+            normal_rows.append(
+                dict(type=tex_mod.BITMAP, image=np.asarray(img, np.float32),
+                     uv_scale=bd.get("uv_scale", (1.0, 1.0)))
+            )
+            normal_bindings[mid_] = len(normal_rows) - 1
+            return mid_
         if btype in ("blendbsdf", "mask"):
             # two-child mixtures (mitsuba3 blendbsdf.cpp / mask.cpp):
             # compile both children, register a BLEND material that the
@@ -794,6 +838,14 @@ def load_dict(d: dict) -> Scene:
         )
     else:
         blend_arrays = (None, None, None)
+    if normal_rows:
+        nm_stack = tex_mod.build_stack(normal_rows)
+        nm_slot = np.full(len(mat_types), -1, np.int32)
+        for mid_, row in normal_bindings.items():
+            nm_slot[mid_] = row
+        nm_arrays = (nm_stack, jnp.asarray(nm_slot))
+    else:
+        nm_arrays = (None, None)
     bsdfs = bsdf_mod.BSDFTable(
         mat_type=jnp.asarray(mat_types, dtype=jnp.int32),
         mat_slot=jnp.asarray(mat_slots, dtype=jnp.int32),
@@ -801,6 +853,8 @@ def load_dict(d: dict) -> Scene:
         blend_a=blend_arrays[0],
         blend_b=blend_arrays[1],
         blend_w=blend_arrays[2],
+        normal_tex=nm_arrays[0],
+        nm_slot=nm_arrays[1],
     )
 
     # --- finalize emitter table ---
