@@ -118,6 +118,46 @@ class Scene:
 # --------------------------------------------------------------------------
 
 
+def resolve_spectrum(val, default=(1.0, 1.0, 1.0)):
+    """Resolve a spectrum declaration to linear RGB (mitsuba3 *_rgb
+    variants resolve src/spectra/ plugins at scene build — SURVEY.md §2.4).
+
+    Accepts: scalar, [r,g,b], {"type": "rgb"/"uniform", "value": ...},
+    {"type": "blackbody", "temperature": K, "scale": s},
+    {"type": "d65", "scale": s},
+    {"type": "regular"/"irregular", "wavelengths": [...], "values": [...]}.
+    """
+    from mitsuba_customization_tpu.core.spectrum import (
+        blackbody_rgb, d65_rgb, spectrum_to_rgb,
+    )
+
+    if isinstance(val, dict):
+        t = val.get("type", "rgb")
+        if t in ("rgb", "uniform"):
+            val = val.get("value", default)
+        elif t == "blackbody":
+            return blackbody_rgb(
+                float(val.get("temperature", 6504.0))
+            ) * np.float32(val.get("scale", 1.0))
+        elif t == "d65":
+            return d65_rgb(float(val.get("scale", 1.0)))
+        elif t in ("regular", "irregular"):
+            wl = val.get("wavelengths")
+            if wl is None:  # regular: [min, max] + N values
+                lo, hi = val.get("lambda_min", 360.0), val.get(
+                    "lambda_max", 830.0
+                )
+                n = len(val["values"])
+                wl = np.linspace(lo, hi, n)
+            return spectrum_to_rgb(wl, val["values"]) * np.float32(
+                val.get("scale", 1.0)
+            )
+        else:
+            raise ValueError(f"unsupported spectrum type '{t}'")
+    arr = np.asarray(val, dtype=np.float32)
+    return np.full(3, arr, np.float32) if arr.ndim == 0 else arr
+
+
 def _as_transform(t):
     """Accept a 4x4 array or a dict {translate, rotate(axis,angle), scale,
     look_at{origin,target,up}} composed in listed order."""
@@ -699,7 +739,8 @@ def load_dict(d: dict) -> Scene:
         if t in _EMITTER_TYPES:
             if t == "constant":
                 const_row = add_emitter(
-                    em_mod.CONSTANT, radiance=val.get("radiance", [1, 1, 1])
+                    em_mod.CONSTANT,
+                    radiance=resolve_spectrum(val.get("radiance", [1, 1, 1])),
                 )
             elif t == "envmap":
                 img = val.get("bitmap")
@@ -716,7 +757,7 @@ def load_dict(d: dict) -> Scene:
             elif t == "point":
                 row = add_emitter(
                     em_mod.POINT,
-                    radiance=val.get("intensity", [1, 1, 1]),
+                    radiance=resolve_spectrum(val.get("intensity", [1, 1, 1])),
                     position=val.get("position", [0, 0, 0]),
                 )
             elif t == "directional":
@@ -747,7 +788,10 @@ def load_dict(d: dict) -> Scene:
                 if espec.get("type") != "area":
                     raise ValueError("shape emitters must have type='area'")
                 emitter_id = add_emitter(
-                    em_mod.AREA, radiance=espec.get("radiance", [1, 1, 1])
+                    em_mod.AREA,
+                    radiance=resolve_spectrum(
+                        espec.get("radiance", [1, 1, 1])
+                    ),
                 )
             prim_start = gb.count
             to_w = _as_transform(val.get("to_world"))
