@@ -31,16 +31,18 @@ def main():
         img, stats = render(scene, spp=spp, seed=seed, return_stats=True)
         return img.sum(), stats["rays_traced"]
 
-    # warmup/compile
+    # warmup/compile. NOTE: on the axon tunnel block_until_ready does not
+    # reliably block; a small host fetch (float()) does. All timings below
+    # therefore force completion through a scalar fetch.
     s, rays = run(scene, jnp.uint32(0))
-    jax.block_until_ready(s)
+    float(s)
 
     n_iter = 5
     t0 = time.perf_counter()
     total_rays = 0.0
     for i in range(n_iter):
         s, rays = run(scene, jnp.uint32(i + 1))
-        jax.block_until_ready(s)
+        float(s)  # forces completion
         total_rays += float(rays)
     dt = time.perf_counter() - t0
 

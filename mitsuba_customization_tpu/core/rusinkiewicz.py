@@ -82,3 +82,40 @@ def half_dir_to_diff(h, wi):
     theta_h, phi_h = dir_to_sph(h)
     d = _rotate_y(_rotate_z(wi, -phi_h), -theta_h)
     return dir_to_sph(d)
+
+
+def dirs_to_half_diff_fast(wi, wo):
+    """(wi, wo) -> (theta_h, theta_d, phi_d) with 3 transcendentals.
+
+    Algebraically identical to dirs_to_half_diff (same rotations), but the
+    rotation matrices use cos/sin taken directly from the half vector's
+    components instead of recomputing them from angles:
+        cos_th = h.z, sin_th = sqrt(1-h.z^2),
+        cos_ph = h.x/sin_th, sin_ph = h.y/sin_th.
+    Eight transcendental evaluations (2x dir_to_sph, 4x rot trig) collapse
+    to two arccos + one arctan2 — the TPU VPU lowers each transcendental
+    to a long polynomial chain, making this the difference between ~8.5 ms
+    and ~3 ms per 2M-lane wavefront (scripts/bench_gather.py findings).
+    phi_h is not returned (the MERL table is isotropic and never needs it).
+    """
+    h = normalize(wi + wo)
+    hz = jnp.clip(h[..., 2], -1.0, 1.0)
+    st2 = jnp.maximum(1.0 - hz * hz, 0.0)
+    st = jnp.sqrt(st2)
+    safe = st > 1e-12
+    inv_st = jnp.where(safe, 1.0 / jnp.maximum(st, 1e-12), 0.0)
+    cphi = jnp.where(safe, h[..., 0] * inv_st, 1.0)
+    sphi = jnp.where(safe, h[..., 1] * inv_st, 0.0)
+
+    # v = Rz(-phi_h) wi ; d = Ry(-theta_h) v   (cos=hz, sin=st)
+    vx = cphi * wi[..., 0] + sphi * wi[..., 1]
+    vy = -sphi * wi[..., 0] + cphi * wi[..., 1]
+    vz = wi[..., 2]
+    dx = hz * vx - st * vz
+    dy = vy
+    dz = st * vx + hz * vz
+
+    theta_h = jnp.arccos(hz)
+    theta_d = jnp.arccos(jnp.clip(dz, -1.0, 1.0))
+    phi_d = jnp.arctan2(dy, dx)
+    return theta_h, theta_d, phi_d

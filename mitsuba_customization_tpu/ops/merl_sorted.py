@@ -1,0 +1,302 @@
+"""Exact trilinear MERL/tabulated-BRDF eval via sort + Pallas segment kernel.
+
+The reference evaluates measured BRDFs with 24 per-lane table gathers
+([S3] mitsuba3 merl plugin hot path, SURVEY.md §3.3). On TPU v5e a
+per-lane gather from the HBM-resident 90x90x180x3 table is latency-bound
+and serial (~45 ns/row, ~100 ms per 2M-lane wavefront — measured in
+scripts/bench_gather.py), so this op restructures the lookup around the
+hardware:
+
+1. Per lane, compute the trilinear cell (theta_h bin i, theta_d bin j,
+   slot) and fractions on the VPU.
+2. Sort lanes by flattened cell key (slot, i, j) — XLA's bitonic sort is
+   fully vectorized (~1 ms/operand for 2M lanes).
+3. A Pallas kernel walks the sorted wavefront tile by tile. Each tile
+   loops over the distinct cells it contains (>=1 iterations; sorted
+   order makes the total number of iterations across all tiles at most
+   n_tiles + n_distinct_cells - 1), DMAs the (2, 2, 3, n_pd) table slab
+   for that cell from HBM into VMEM, and evaluates the interpolation with
+   pure VPU ops: the phi_d axis is resolved with the hardware lane-axis
+   dynamic gather (jnp.take_along_axis over 128-wide banks), the
+   (i, j) corners with four masked FMAs.
+4. Un-sort the results by carried lane id (second bitonic sort).
+
+The result matches models/tabulated.eval_raw to ~3e-5 relative (the only
+deviation: fractional weights ride the sort as 16-bit fixed point).
+
+Differentiable w.r.t. the table: custom_vjp whose backward runs the
+(slow but rarely-traced) XLA gather formulation's VJP — the scatter-add
+into table cells that path-replay gradient accumulation needs
+(SURVEY.md §3.2). Forward-only renders never touch it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SENT = 0x7FFFFFFF  # python int: avoids capture as a traced kernel constant
+LANE = 128
+TILE_ROWS = 16  # lanes per tile = TILE_ROWS * LANE = 2048
+TILE = TILE_ROWS * LANE
+_F16 = 65535.0
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def pack_perm(table):
+    """(..., n_th, n_td, n_pd, 3) -> (..., n_th, n_td, 4, KPAD) f32.
+
+    Channel-major, phi_d minor and zero-padded to a multiple of 128 so the
+    kernel's slab DMA and lane-bank gathers are aligned. Pure transpose —
+    rebuilt cheaply from `table` inside jitted update steps.
+    """
+    kpad = _round_up(table.shape[-2], LANE)
+    perm = jnp.moveaxis(table, -1, -2)  # (..., n_th, n_td, 3, n_pd)
+    pad = [(0, 0)] * (perm.ndim - 2) + [(0, 1), (0, kpad - table.shape[-2])]
+    return jnp.pad(perm, pad)  # channel axis padded 3->4 (DMA tiling)
+
+
+def _segment_kernel(n_th, n_td, n_pd, kpad, key_ref, fpack_ref, updf_ref,
+                    table_ref, r_ref, g_ref, b_ref, slab, sem):
+    """Per-tile segment walk. See module docstring step 3."""
+    keys = key_ref[:]  # (TILE_ROWS, LANE) int32, sorted ascending
+    fpack = fpack_ref[:]
+    # Mosaic lacks a u32->f32 cast; both halves fit in i32 exactly.
+    fth = (fpack >> 16).astype(jnp.int32).astype(jnp.float32) * (1.0 / _F16)
+    ftd = (fpack & 0xFFFF).astype(jnp.int32).astype(jnp.float32) * (1.0 / _F16)
+    updf = updf_ref[:]
+    k0f = jnp.floor(updf)
+    fpd = updf - k0f
+    k0 = jnp.mod(k0f.astype(jnp.int32), n_pd)
+    k1 = jnp.mod(k0 + 1, n_pd)
+
+    w00 = (1.0 - fth) * (1.0 - ftd)
+    w01 = (1.0 - fth) * ftd
+    w10 = fth * (1.0 - ftd)
+    w11 = fth * ftd
+    w_ab = ((w00, w01), (w10, w11))
+
+    n_banks = kpad // LANE
+    zero = jnp.zeros((TILE_ROWS, LANE), jnp.float32)
+
+    def lane_pick(row, kk):
+        """row (kpad,) broadcast-gathered at per-lane kk -> (TILE_ROWS, LANE)."""
+        out = zero
+        for bank in range(n_banks):
+            seg = jnp.broadcast_to(
+                row[bank * LANE:(bank + 1) * LANE][None, :],
+                (TILE_ROWS, LANE),
+            )
+            off = jnp.clip(kk - bank * LANE, 0, LANE - 1)
+            got = jnp.take_along_axis(seg, off, axis=1)
+            out = jnp.where((kk // LANE) == bank, got, out)
+        return out
+
+    def body(state):
+        cur, accs = state
+        # decode key -> (slot, i, j)
+        slot = cur // (n_th * n_td)
+        rem = cur - slot * (n_th * n_td)
+        i = rem // n_td
+        j = rem - i * n_td
+
+        copy = pltpu.make_async_copy(
+            table_ref.at[slot, pl.ds(i, 2), pl.ds(j, 2), :, :],
+            slab,
+            sem,
+        )
+        copy.start()
+        copy.wait()
+
+        m = keys == cur
+        new_accs = []
+        for c in range(3):
+            val = zero
+            for a in (0, 1):
+                for b in (0, 1):
+                    row = slab[a, b, c, :]
+                    s = lane_pick(row, k0) * (1.0 - fpd) + lane_pick(
+                        row, k1
+                    ) * fpd
+                    val = val + w_ab[a][b] * s
+            new_accs.append(accs[c] + jnp.where(m, val, 0.0))
+        nxt = jnp.min(jnp.where(keys > cur, keys, SENT))
+        return nxt, tuple(new_accs)
+
+    def cond(state):
+        cur, _ = state
+        return cur != SENT
+
+    cur0 = key_ref[0, 0]
+    _, (ar, ag, ab) = jax.lax.while_loop(
+        cond, body, (cur0, (zero, zero, zero))
+    )
+    r_ref[:] = ar
+    g_ref[:] = ag
+    b_ref[:] = ab
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _eval_sorted_impl(perm, key, fpack, updf, n_pd, interpret):
+    """Sorted-order kernel launch. key/fpack/updf are PRE-SORTED, length
+    a multiple of TILE. Returns (r, g, b) in sorted order. n_pd is the
+    TRUE phi_d resolution (perm's minor axis is zero-padded past it)."""
+    n_mat, n_th, n_td, _c4, kpad = perm.shape
+    npad = key.shape[0]
+    shape2 = (npad // LANE, LANE)
+    grid = (npad // TILE,)
+
+    kernel = functools.partial(
+        _segment_kernel, n_th, n_td, n_pd, kpad
+    )
+    lane_spec = pl.BlockSpec(
+        (TILE_ROWS, LANE), lambda t: (t, 0), memory_space=pltpu.VMEM
+    )
+    r, g, b = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * 3,
+        grid=grid,
+        in_specs=[
+            lane_spec,
+            lane_spec,
+            lane_spec,
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[lane_spec] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 4, kpad), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        key.reshape(shape2),
+        fpack.reshape(shape2),
+        updf.reshape(shape2),
+        perm,
+    )
+    return r.reshape(-1), g.reshape(-1), b.reshape(-1)
+
+
+def _coords(table_shape, wi, wo):
+    """Cell/fraction computation shared with models/tabulated (VPU)."""
+    from mitsuba_customization_tpu.core import math as m
+    from mitsuba_customization_tpu.core.rusinkiewicz import (
+        dirs_to_half_diff_fast,
+    )
+    from mitsuba_customization_tpu.models.tabulated import _grid_coords
+
+    n_th, n_td, n_pd = table_shape
+    theta_h, theta_d, phi_d = dirs_to_half_diff_fast(wi, wo)
+    u_th, u_td, u_pd = _grid_coords(
+        (n_th, n_td, n_pd, 3), theta_h, theta_d, phi_d
+    )
+    i0 = jnp.clip(jnp.floor(u_th).astype(jnp.int32), 0, n_th - 2)
+    j0 = jnp.clip(jnp.floor(u_td).astype(jnp.int32), 0, n_td - 2)
+    fth = jnp.clip(u_th - i0, 0.0, 1.0)
+    ftd = jnp.clip(u_td - j0, 0.0, 1.0)
+    above = jnp.logical_and(m.cos_theta(wi) > 0.0, m.cos_theta(wo) > 0.0)
+    return i0, j0, fth, ftd, u_pd, above
+
+
+def eval_sorted(table, wi, wo, slot=None, mask=None, interpret=False,
+                perm=None):
+    """f(wi, wo) per lane (no cosine), exact trilinear, sorted Pallas path.
+
+    table: (n_th, n_td, n_pd, 3) or stacked (n_mat, ...); slot per-lane
+    material index into the stack (None = single). mask: lanes to skip
+    (masked lanes return 0 and cost no slab work). perm: optional
+    precomputed pack_perm(table) (models/tabulated caches it in params so
+    the transpose isn't re-traced per bounce).
+    """
+    stacked = table.ndim == 5
+    n_th, n_td, n_pd = table.shape[-4], table.shape[-3], table.shape[-2]
+    if perm is None:
+        perm = pack_perm(table if stacked else table[None])
+    elif perm.ndim == 4:
+        perm = perm[None]
+
+    i0, j0, fth, ftd, u_pd, above = _coords((n_th, n_td, n_pd), wi, wo)
+    valid = above
+    if mask is not None:
+        valid = valid & mask
+    s = slot if (stacked and slot is not None) else jnp.zeros_like(i0)
+    key = ((s * n_th + i0) * n_td + j0).astype(jnp.int32)
+    key = jnp.where(valid, key, SENT)
+    fpack = (
+        (jnp.round(fth * _F16).astype(jnp.uint32) << 16)
+        | jnp.round(ftd * _F16).astype(jnp.uint32)
+    )
+    u_pd = jnp.where(valid, u_pd, 0.0)  # NaN-free payload for masked lanes
+
+    n = key.shape[0]
+    npad = _round_up(max(n, TILE), TILE)
+    pad = npad - n
+    lane_id = jnp.arange(npad, dtype=jnp.int32)
+    key_p = jnp.pad(key, (0, pad), constant_values=int(SENT))
+    fpack_p = jnp.pad(fpack, (0, pad))
+    updf_p = jnp.pad(u_pd, (0, pad))
+
+    sk, sf, su, sl = jax.lax.sort(
+        [key_p, fpack_p, updf_p, lane_id], dimension=0, num_keys=1,
+        is_stable=False,
+    )
+    r, g, b = _eval_sorted_impl(perm, sk, sf, su, n_pd, interpret)
+    _, rr, gg, bb = jax.lax.sort(
+        [sl, r, g, b], dimension=0, num_keys=1, is_stable=False
+    )
+    out = jnp.stack([rr[:n], gg[:n], bb[:n]], axis=-1)
+    return jnp.where(valid[..., None], jnp.maximum(out, 0.0), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper (table gradients via the XLA gather VJP)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def eval_trilinear(table, perm, wi, wo, slot, mask, interpret=False):
+    """Differentiable-in-table sorted trilinear eval (no cosine term).
+
+    Forward reads only `perm` (= pack_perm(table), cached in the params
+    pytree); backward scatter-adds into `table`'s cotangent via the XLA
+    gather formulation's VJP. Because perm is derived from table at build
+    time and its cotangent here is zero, the chain rule routes the entire
+    table gradient through the explicit `table` argument — exactly once.
+    """
+    return eval_sorted(table, wi, wo, slot=slot, mask=mask,
+                       interpret=interpret, perm=perm)
+
+
+def _eval_fwd(table, perm, wi, wo, slot, mask, interpret):
+    out = eval_sorted(table, wi, wo, slot=slot, mask=mask,
+                      interpret=interpret, perm=perm)
+    return out, (table, perm, wi, wo, slot, mask)
+
+
+def _eval_bwd(interpret, res, g):
+    from mitsuba_customization_tpu.models.tabulated import eval_raw
+
+    table, perm, wi, wo, slot, mask = res
+    stacked = table.ndim == 5
+
+    def f(t):
+        out = eval_raw(t, wi, wo, slot=slot if stacked else None)
+        if mask is not None:
+            out = jnp.where(mask[..., None], out, 0.0)
+        return out
+
+    _, vjp = jax.vjp(f, table)
+    (gt,) = vjp(g)
+    zeros = lambda x: None if x is None else jnp.zeros_like(x)
+    return (gt, jnp.zeros_like(perm), zeros(wi), zeros(wo), zeros(slot),
+            zeros(mask))
+
+
+eval_trilinear.defvjp(_eval_fwd, _eval_bwd)
