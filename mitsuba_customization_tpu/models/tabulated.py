@@ -49,10 +49,22 @@ NEEDS_MASK = True
 COSINE_MIX = 0.1
 
 # Resolution of the tabulated sampler: number of incident-angle slices and
-# the (theta_h, phi_h) grid per slice.
+# the (theta_h, phi_h) grid per slice. Sized so the conditional-CDF stack
+# (N_THETA_I * SAMPLE_RES_H rows) stays under ops/onehot.MAX_ONEHOT_WIDTH:
+# every per-lane CDF row fetch then rides the MXU (core/distr._fetch_stacked).
 N_THETA_I = 32
-SAMPLE_RES_H = 64
+SAMPLE_RES_H = 32
 SAMPLE_RES_PHI = 64
+
+# Forced eval path for tests: None = auto (sorted Pallas kernel on TPU,
+# packed row-gather elsewhere), or "packed" / "sorted".
+EVAL_PATH = None
+
+
+def _eval_path():
+    if EVAL_PATH is not None:
+        return EVAL_PATH
+    return "sorted" if jax.default_backend() == "tpu" else "packed"
 
 
 class TabulatedBRDF(NamedTuple):
@@ -63,11 +75,14 @@ class TabulatedBRDF(NamedTuple):
     corners:  (n_th * n_td * n_pd, 24) float32 — the same data expanded so
               each cell's row holds its 8 trilinear corners x 3 channels.
               One contiguous 96-byte row-gather then replaces the 24 scalar
-              gathers of the naive trilinear lookup — measured ~10x faster
-              on TPU v5e, whose per-lane scalar gathers are the pipeline's
-              bottleneck (SURVEY.md §7.3 item 5 "MERL gather bandwidth").
-              Differentiable: built from shifted views of `table`, so table
-              gradients flow through the expansion's scatter-add VJP.
+              gathers of the naive trilinear lookup — the fast path on
+              non-TPU backends. None when built for TPU (the sorted Pallas
+              kernel reads `perm` instead; corners is 24x the table and
+              only one path ever runs).
+    perm:     ops/merl_sorted.pack_perm layout — channel-major, phi_d minor
+              zero-padded to 128 lanes — the HBM-resident tensor the sorted
+              segment kernel DMAs slabs from (BASELINE north_star's
+              "Pallas kernels over an HBM-resident BRDF tensor").
     sampling: Marginal2D stack with leading axis N_THETA_I — per
               incident-angle-bin half-vector distribution.
     """
@@ -75,6 +90,7 @@ class TabulatedBRDF(NamedTuple):
     table: jnp.ndarray
     corners: jnp.ndarray
     sampling: Marginal2D
+    perm: jnp.ndarray = None
 
     @staticmethod
     def build(table):
@@ -82,10 +98,14 @@ class TabulatedBRDF(NamedTuple):
 
         Called inside the jitted optimization step after each table update
         (SURVEY.md §3.5 'params.update() rebuilds sampling CDFs')."""
+        from mitsuba_customization_tpu.ops import merl_sorted
+
+        sorted_path = _eval_path() == "sorted"
         return TabulatedBRDF(
             table=table,
-            corners=_pack_corners(table),
+            corners=None if sorted_path else _pack_corners(table),
             sampling=_build_sampling(table),
+            perm=merl_sorted.pack_perm(table),
         )
 
     @staticmethod
@@ -95,10 +115,16 @@ class TabulatedBRDF(NamedTuple):
         The multi-material HBM-resident BRDF stack (BASELINE configs[4]:
         "10 MERL materials"); eval/pdf/sample then take per-lane `slot`.
         """
+        from mitsuba_customization_tpu.ops import merl_sorted
+
+        sorted_path = _eval_path() == "sorted"
         return TabulatedBRDF(
             table=tables,
-            corners=jax.vmap(_pack_corners)(tables),
+            corners=(
+                None if sorted_path else jax.vmap(_pack_corners)(tables)
+            ),
             sampling=jax.vmap(_build_sampling)(tables),
+            perm=merl_sorted.pack_perm(tables),
         )
 
 
@@ -271,11 +297,46 @@ def eval_packed(corners, table_shape, wi, wo, slot=None, mask=None):
     return jnp.where(above[..., None], jnp.maximum(val, 0.0), 0.0)
 
 
+def eval_f(params: TabulatedBRDF, wi, wo, slot=None, mask=None):
+    """Interpolated f(wi, wo) (no cosine) through the fastest available path.
+
+    TPU: ops/merl_sorted's sort + segment Pallas kernel (~12x the packed
+    row-gather at 2M lanes, scripts/bench_sorted.py). Elsewhere: the
+    corner-block packed row-gather. Both match eval_raw.
+    """
+    if _eval_path() == "sorted" and params.perm is not None:
+        from mitsuba_customization_tpu.ops import merl_sorted
+
+        lanes = wi.shape[:-1]
+        if len(lanes) == 1:
+            return merl_sorted.eval_trilinear(
+                params.table, params.perm, wi, wo, slot, mask
+            )
+        def flat(x):
+            return None if x is None else x.reshape(
+                (-1,) + x.shape[len(lanes):]
+            )
+
+        out = merl_sorted.eval_trilinear(
+            params.table, params.perm, flat(wi), flat(wo),
+            flat(slot), flat(mask),
+        )
+        return out.reshape(lanes + (3,))
+    if params.corners is not None:
+        shape = params.table.shape[-4:-1]
+        return eval_packed(
+            params.corners, shape, wi, wo, slot=slot, mask=mask
+        )
+    out = eval_raw(params.table, wi, wo, slot=slot)
+    if mask is not None:
+        out = jnp.where(mask[..., None], out, 0.0)
+    return out
+
+
 def eval(params: TabulatedBRDF, wi, wo, slot=None, mask=None):
     """BSDF::eval — f(wi, wo) * cos(theta_o), Mitsuba convention."""
-    shape = params.table.shape[-4:-1]
-    return eval_packed(
-        params.corners, shape, wi, wo, slot=slot, mask=mask
+    return eval_f(
+        params, wi, wo, slot=slot, mask=mask
     ) * jnp.maximum(m.cos_theta(wo), 0.0)[..., None]
 
 
@@ -417,8 +478,8 @@ def sample(params: TabulatedBRDF, wi, sample2, sample1=None, slot=None,
     if mask is not None:
         tbin = jnp.where(mask, tbin, 0)
     slc = (tbin,) if slot is None else (slot, tbin)
-    pos, _ = params.sampling.sample(sample2, slice_=slc)
-    h, _ = _halfvec_from_square(pos[..., 0], pos[..., 1])
+    pos, p_sq = params.sampling.sample(sample2, slice_=slc)
+    h, jac_h = _halfvec_from_square(pos[..., 0], pos[..., 1])
     wo_tab = 2.0 * m.dot_keep(wi_c, h) * h - wi_c
 
     # Cosine branch.
@@ -427,10 +488,25 @@ def sample(params: TabulatedBRDF, wi, sample2, sample1=None, slot=None,
     wo_c = jnp.where(use_cos[..., None], wo_cos, wo_tab)
     wo = _rotate_phi(wo_c, phi_i)
 
-    p = pdf(params, wi, wo, slot=slot, mask=mask)
-    f_cos = eval(params, wi, wo, slot=slot, mask=mask)
+    # Mixture pdf at wo. Tabulated-branch lanes reuse the inversion's own
+    # exact cell masses (p_sq) instead of re-fetching CDF rows; only the
+    # cosine-branch lanes need one fetch of the tabulated density at wo_cos.
+    denom_tab = jac_h * 4.0 * jnp.abs(m.dot(wo_tab, h))
+    p_tab_own = m.safe_div(p_sq, denom_tab)
+    p_tab_cos = _table_pdf_canonical(
+        params.sampling, theta_i, wo_cos, wi_c, slot=slot, mask=mask
+    )
+    p_tab = jnp.where(use_cos, p_tab_cos, p_tab_own)
+    p_cos = square_to_cosine_hemisphere_pdf(wo_c)
+    p = (1.0 - COSINE_MIX) * p_tab + COSINE_MIX * p_cos
+    valid = (
+        (p > 1e-12)
+        & (m.cos_theta(wo_c) > 0.0)
+        & (m.cos_theta(wi) > 0.0)
+    )
+    mask_eval = valid if mask is None else jnp.logical_and(mask, valid)
+    f_cos = eval(params, wi, wo, slot=slot, mask=mask_eval)
     weight = m.safe_div(f_cos, p[..., None])
-    valid = jnp.logical_and(p > 1e-12, m.cos_theta(wo) > 0.0)
     weight = jnp.where(valid[..., None], weight, 0.0)
     return wo, jnp.where(valid, p, 0.0), weight, jnp.zeros_like(valid)
 

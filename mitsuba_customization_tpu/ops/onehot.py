@@ -19,9 +19,10 @@ import jax
 import jax.numpy as jnp
 
 # Above this one-hot width the matmul cost (R * C * 2 flops/lane) stops
-# winning against XLA's serial gather; callers should restructure (sort,
-# smaller tables) rather than widen further.
-MAX_ONEHOT_WIDTH = 1024
+# winning against XLA's serial gather (measured crossover ~4-5k rows for
+# 64-wide rows at 2M lanes — scripts/bench_sorted.py); callers should
+# restructure (sort, smaller tables) rather than widen further.
+MAX_ONEHOT_WIDTH = 4096
 
 
 def fetch_rows(table, idx, dtype=jnp.float32):

@@ -53,6 +53,12 @@ def render_sharded(scene, mesh=None, spp=None, seed=0):
 
     Returns a fully-replicated (H, W, 3) image (gathered once at the end —
     the analogue of result tiles streaming back to the 0.6 master).
+
+    Non-box reconstruction filters splat with a footprint that crosses
+    row-shard boundaries (ImageBlock border handling in the reference,
+    mitsuba3 src/render/imageblock.cpp): each shard splats its lanes into
+    a full-size accumulator and the weighted sums psum over the mesh —
+    bit-for-bit the same estimator as the single-device splat.
     """
     mesh = mesh or make_mesh()
     cfg = scene.config
@@ -62,22 +68,37 @@ def render_sharded(scene, mesh=None, spp=None, seed=0):
     rows_local = cfg.height // n_dev
     lanes_local = rows_local * cfg.width * spp
 
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(),),
-        out_specs=P(AXIS),
-    )
-    def body(scene_rep):
+    if cfg.rfilter == "box":
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(AXIS))
+        def body(scene_rep):
+            idx = jax.lax.axis_index(AXIS)
+            offset = idx.astype(jnp.uint32) * jnp.uint32(lanes_local)
+            L, _, _ = render_lanes(
+                scene_rep, spp, jnp.uint32(seed),
+                lane_offset=offset, n_lanes=lanes_local,
+            )
+            return film_mod.develop_box(L, rows_local, cfg.width, spp)
+
+        return body(scene)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(),), out_specs=P())
+    def body_splat(scene_rep):
         idx = jax.lax.axis_index(AXIS)
         offset = idx.astype(jnp.uint32) * jnp.uint32(lanes_local)
-        L, _, _ = render_lanes(
+        L, film_xy, _ = render_lanes(
             scene_rep, spp, jnp.uint32(seed),
             lane_offset=offset, n_lanes=lanes_local,
         )
-        return film_mod.develop_box(L, rows_local, cfg.width, spp)
+        img, wsum = film_mod.splat(
+            L, film_xy, cfg.height, cfg.width,
+            film_mod.FILTER_NAMES[cfg.rfilter],
+        )
+        img = jax.lax.psum(img, AXIS)
+        wsum = jax.lax.psum(wsum, AXIS)
+        return img / jnp.maximum(wsum, 1e-12)[..., None]
 
-    return body(scene)
+    return body_splat(scene)
 
 
 def render_sharded_jit(scene, mesh=None, spp=None, seed=0):
@@ -102,6 +123,12 @@ def loss_and_grad_sharded(scene, params, target, mesh=None, spp=None, seed=0):
     """
     mesh = mesh or make_mesh()
     cfg = scene.config
+    if cfg.rfilter != "box":
+        raise NotImplementedError(
+            "loss_and_grad_sharded develops with the box filter; set "
+            "cfg.rfilter='box' (splat filters are supported in "
+            "render_sharded, not yet in the sharded loss)"
+        )
     spp = int(spp or cfg.spp)
     n_dev = mesh.devices.size
     _check_divisible(cfg.height, n_dev)
@@ -130,9 +157,12 @@ def loss_and_grad_sharded(scene, params, target, mesh=None, spp=None, seed=0):
 
         loss, grads = jax.value_and_grad(local_loss)(params_rep)
         loss = jax.lax.psum(loss, AXIS)
-        grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(g, AXIS), grads
-        )
+        # NOTE: no explicit psum on grads. params_rep enters shard_map
+        # replicated (in_specs=P()), so the AD transpose of its broadcast
+        # into the varying render IS a psum — value_and_grad already
+        # returns the globally-reduced gradient (this is where XLA
+        # overlaps the all-reduce with the backward sweep). An explicit
+        # psum on top double-counts by the mesh size.
         return loss, grads
 
     return body(scene, params, target)

@@ -288,6 +288,49 @@ def intersect(bvh: BVH, geom: geo.Geometry, ray: Ray):
 
 
 def occluded(bvh: BVH, geom: geo.Geometry, ray: Ray):
-    """Shadow-ray any-hit traversal (early-out per lane via maxt shrink)."""
-    t, prim, _, _ = intersect(bvh, geom, ray)
-    return (prim >= 0) & (t < ray.maxt)
+    """Shadow-ray any-hit traversal (rtcOccluded semantics, mitsuba3
+    scene_embree.inl Scene::ray_test).
+
+    Unlike `intersect`, a lane terminates the moment *any* primitive with
+    t < maxt is found: its cursor jumps past the end, so the lock-step
+    while_loop exits as soon as every lane has either a hit or an
+    exhausted tree — roughly half the traversal work of a nearest-hit
+    pass on NEE-heavy workloads.
+    """
+    n_nodes = bvh.n_nodes
+    inv_d = 1.0 / jnp.where(jnp.abs(ray.d) < 1e-12, 1e-12, ray.d)
+    maxt = jnp.broadcast_to(ray.maxt, ray.o.shape[:-1])
+
+    def cond(state):
+        node, hit = state
+        return jnp.any(node < n_nodes)
+
+    def body(state):
+        node, hit = state
+        nsafe = jnp.minimum(node, n_nodes - 1)
+        active = node < n_nodes
+        hit_box = _slab_test(
+            bvh.bb_min[nsafe], bvh.bb_max[nsafe], ray.o, inv_d, maxt
+        ) & active
+        leaf = bvh.leaf_prims[nsafe]
+        is_leaf = leaf[..., 0] >= 0
+
+        new_hit = hit
+        for i in range(LEAF_SIZE):
+            pid = leaf[..., i]
+            pvalid = hit_box & is_leaf & (pid >= 0)
+            psafe = jnp.maximum(pid, 0)
+            t_i, _, _ = geo._intersect_prims(geom, ray.o, ray.d, psafe)
+            new_hit = new_hit | (pvalid & (t_i < maxt))
+
+        descend = hit_box & jnp.logical_not(is_leaf)
+        nxt = jnp.where(descend, nsafe + 1, bvh.skip[nsafe])
+        # early-out: a hit lane leaves the traversal entirely
+        nxt = jnp.where(new_hit, n_nodes, nxt)
+        node = jnp.where(active, nxt, node)
+        return node, new_hit
+
+    n = ray.o.shape[:-1]
+    state0 = (jnp.zeros(n, dtype=jnp.int32), jnp.zeros(n, dtype=bool))
+    _, hit = jax.lax.while_loop(cond, body, state0)
+    return hit

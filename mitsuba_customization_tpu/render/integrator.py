@@ -510,6 +510,19 @@ def _chunk_spp(hw, spp):
     return chunk
 
 
+def _chunk_rows(h, w):
+    """Largest divisor of h keeping rows*w <= MAX_WAVEFRONT (min 1).
+
+    Films larger than the wavefront budget render in row slabs — the
+    pixel-axis half of the wavefront loop (a 4096^2 spp-1 frame is 16.7M
+    lanes, 8x over MAX_WAVEFRONT; spp chunking alone cannot go below 1).
+    """
+    rows = max(1, min(h, MAX_WAVEFRONT // max(w, 1)))
+    while h % rows != 0:
+        rows -= 1
+    return rows
+
+
 def render(scene, spp=None, seed=0, integrator=None, max_depth=None,
            ad_mode=False, return_stats=False):
     """mi.render analogue: full pipeline to an (H, W, 3) image.
@@ -525,25 +538,36 @@ def render(scene, spp=None, seed=0, integrator=None, max_depth=None,
     cfg = scene.config
     spp = spp or cfg.spp
     h, w = cfg.height, cfg.width
-    hw = h * w
-    chunk = _chunk_spp(hw, spp)
-    n_pass = spp // chunk
+    rows = _chunk_rows(h, w)
+    chunk = _chunk_spp(rows * w, spp)
+    n_spp_pass = spp // chunk
+    n_row_pass = h // rows
     n_chan = 6 if (integrator or cfg.integrator) == "moment" else 3
+    box = cfg.rfilter == "box"
 
-    pixel = jnp.repeat(
-        jnp.arange(hw, dtype=jnp.uint32), chunk, total_repeat_length=hw * chunk
+    pixel0 = jnp.repeat(
+        jnp.arange(rows * w, dtype=jnp.uint32), chunk,
+        total_repeat_length=rows * w * chunk,
     )
-    sidx_local = jnp.tile(jnp.arange(chunk, dtype=jnp.uint32), hw)
+    sidx_local = jnp.tile(jnp.arange(chunk, dtype=jnp.uint32), rows * w)
 
-    def one_pass(p):
+    def one_pass(row_pass, spp_pass):
+        """Render one (row slab, spp slice) pass.
+
+        Returns (slab_or_img, wsum, rays): box filter produces a
+        (rows, w, n_chan) slab; splat filters scatter into the full film
+        (the kernel footprint crosses slab rows).
+        """
         L, film_xy, stats = render_lanes(
             scene, spp, seed, integrator, max_depth, ad_mode=ad_mode,
-            pixel=pixel,
-            sample_idx=sidx_local + p.astype(jnp.uint32) * jnp.uint32(chunk),
+            pixel=pixel0 + row_pass.astype(jnp.uint32) * jnp.uint32(rows * w),
+            sample_idx=(
+                sidx_local + spp_pass.astype(jnp.uint32) * jnp.uint32(chunk)
+            ),
         )
         rays = jnp.sum(stats["rays_per_bounce"].astype(jnp.float32))
-        if cfg.rfilter == "box":
-            return film_mod.develop_box(L, h, w, chunk), None, rays
+        if box:
+            return film_mod.develop_box(L, rows, w, chunk), None, rays
         img, wsum = film_mod.splat(
             L, film_xy, h, w, film_mod.FILTER_NAMES[cfg.rfilter]
         )
@@ -558,28 +582,32 @@ def render(scene, spp=None, seed=0, integrator=None, max_depth=None,
             return out, {"rays_traced": rays}
         return out
 
-    if n_pass == 1:
-        img, wsum, rays = one_pass(jnp.uint32(0))
-        return finish(img, wsum, rays)
+    if n_spp_pass == 1 and n_row_pass == 1:
+        img, wsum, rays = one_pass(jnp.uint32(0), jnp.uint32(0))
+        return finish(img if wsum is None else img, wsum, rays)
 
     def body(carry, p):
-        img, wsum, rays = one_pass(p)
-        if wsum is None:
-            return (carry[0] + img, None, carry[2] + rays), None
-        return (carry[0] + img, carry[1] + wsum, carry[2] + rays), None
+        img, wsum, rays0 = carry
+        row_pass = p // n_spp_pass
+        spp_pass = p % n_spp_pass
+        part, wpart, rays = one_pass(row_pass, spp_pass)
+        if box:
+            r0 = row_pass.astype(jnp.int32) * rows
+            old = jax.lax.dynamic_slice(img, (r0, 0, 0), (rows, w, n_chan))
+            img = jax.lax.dynamic_update_slice(img, old + part, (r0, 0, 0))
+            return (img, None, rays0 + rays), None
+        return (img + part, wsum + wpart, rays0 + rays), None
 
-    if cfg.rfilter == "box":
-        (total, _, rays), _ = jax.lax.scan(
-            body,
-            (jnp.zeros((h, w, n_chan)), None, jnp.float32(0.0)),
-            jnp.arange(n_pass),
-        )
-        return finish(total / n_pass, None, rays)
-    (img, wsum, rays), _ = jax.lax.scan(
-        body,
-        (jnp.zeros((h, w, 3)), jnp.zeros((h, w)), jnp.float32(0.0)),
-        jnp.arange(n_pass),
+    init = (
+        jnp.zeros((h, w, n_chan)),
+        None if box else jnp.zeros((h, w)),
+        jnp.float32(0.0),
     )
+    (img, wsum, rays), _ = jax.lax.scan(
+        body, init, jnp.arange(n_spp_pass * n_row_pass)
+    )
+    if box:
+        return finish(img / n_spp_pass, None, rays)
     return finish(img, wsum, rays)
 
 

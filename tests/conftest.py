@@ -15,6 +15,14 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax  # noqa: E402
+
+# A sitecustomize hook may have force-registered a remote TPU backend and
+# set jax_platforms="axon,cpu" (overriding the env var above). Re-pin to
+# CPU *before any op runs*, or every test process pays a multi-minute
+# remote-backend init.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

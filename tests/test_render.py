@@ -204,3 +204,25 @@ def test_depth_integrator():
     img = np.asarray(render_jit(scene, integrator="depth"))
     c = scene.config.width // 2
     assert abs(img[c, c, 0] - 3.0) < 0.02  # camera at z=-4, sphere r=1
+
+
+def test_row_chunked_render_matches(monkeypatch):
+    """Films larger than MAX_WAVEFRONT render in row slabs (pixel-axis
+    chunking) with identical output — box and splat filters both."""
+    import mitsuba_customization_tpu.render.integrator as integ
+
+    scene = _sphere_scene(
+        {"type": "diffuse", "reflectance": [0.5, 0.5, 0.5]},
+        spp=4, res=16,
+    )
+    img_full = np.asarray(integ.render(scene, spp=4, seed=0))
+    monkeypatch.setattr(integ, "MAX_WAVEFRONT", 16 * 4 * 4)
+    img_chunked = np.asarray(integ.render(scene, spp=4, seed=0))
+    assert np.allclose(img_full, img_chunked, rtol=1e-5, atol=1e-6)
+
+    monkeypatch.setattr(integ, "MAX_WAVEFRONT", 1 << 21)
+    scene.config.rfilter = "tent"
+    img_full = np.asarray(integ.render(scene, spp=4, seed=0))
+    monkeypatch.setattr(integ, "MAX_WAVEFRONT", 16 * 4 * 4)
+    img_chunked = np.asarray(integ.render(scene, spp=4, seed=0))
+    assert np.allclose(img_full, img_chunked, rtol=1e-5, atol=1e-6)
