@@ -167,7 +167,7 @@ def _eval_sorted_impl(perm, key, fpack, updf, n_pd, interpret):
             lane_spec,
             lane_spec,
             lane_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[lane_spec] * 3,
         scratch_shapes=[
