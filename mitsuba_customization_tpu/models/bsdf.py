@@ -312,3 +312,107 @@ def eval_pdf(table: BSDFTable, mat_id, wi, wo, uv=None):
     f = eval(table, mat_id, wi, wo, uv=uv)
     p = pdf(table, mat_id, wi, wo, uv=uv)
     return f, p
+
+
+def bounce_shade(table: BSDFTable, mat_id, wi, wo_nee, sample2, sample1=None,
+                 uv=None, need_attached=False, has_nee=True):
+    """All BSDF work of one path-tracer bounce in one dispatch pass.
+
+    Fuses {eval_pdf(wi, wo_nee), sample(wi, u), eval(wi, wo_sampled)} —
+    the three per-bounce BSDF dispatches of the round-2 integrator — into
+    one masked run-all pass so each kernel runs exactly once per bounce.
+    The tabulated kernel gets the big win (models/tabulated.bounce_shade:
+    one sampling-kernel pass + ONE combined 2N-lane sorted trilinear eval
+    instead of two eval passes and 4-6 one-hot CDF fetches); analytic
+    kernels compose the same three calls they always ran.
+
+    Returns (f_nee, pdf_nee, wo, pdf_s, weight, is_delta, f_att) where
+    f_att is the attached eval at the sampled wo (for the ad_mode detached
+    estimator; None when need_attached=False). Scenes with blend materials
+    fall back to the public eval/pdf/sample composition.
+    """
+    if table.blend_a is not None:
+        # blends resolve through the public API (mixture bookkeeping)
+        wo, p_s, weight, is_delta = sample(
+            table, mat_id, wi, sample2, sample1, uv=uv
+        )
+        if has_nee:
+            f_nee, p_nee = eval_pdf(table, mat_id, wi, wo_nee, uv=uv)
+        else:
+            f_nee = jnp.zeros_like(weight)
+            p_nee = jnp.zeros_like(p_s)
+        f_att = (
+            eval(table, mat_id, wi, jax.lax.stop_gradient(wo), uv=uv)
+            if need_attached else None
+        )
+        return f_nee, p_nee, wo, p_s, weight, is_delta, f_att
+
+    t = table.mat_type[mat_id]
+    slot = table.mat_slot[mat_id]
+    shape = wi.shape[:-1]
+    out = None
+    for kid in table.present_kernels:
+        if kid in (NULL, BLEND):
+            continue
+        mod = _MODULES[kid]
+        mask = t == kid
+        slot_safe = jnp.where(mask, slot, 0)
+        if getattr(mod, "NEEDS_SLOT", kid == TABULATED) and hasattr(
+            mod, "bounce_shade"
+        ):
+            f_nee, p_nee, wo, p_s, weight, is_delta = mod.bounce_shade(
+                table.stacks[kid], wi, wo_nee, sample2, sample1,
+                slot=slot_safe, mask=mask,
+                mask_nee=mask if has_nee else jnp.zeros_like(mask),
+                need_attached=need_attached,
+            )
+            # weight = f_attached / sg(pdf) exactly, so the attached eval
+            # at wo is recovered without a second pass.
+            f_att = weight * p_s[..., None] if need_attached else None
+            res = (f_nee, p_nee, wo, p_s, weight, is_delta, f_att)
+        else:
+            if getattr(mod, "NEEDS_SLOT", False):
+                extra = {"slot": slot_safe}
+                if getattr(mod, "NEEDS_UV", False):
+                    extra["uv"] = uv
+                if getattr(mod, "NEEDS_MASK", False):
+                    extra["mask"] = mask
+                call = lambda fn, *a, _e=extra: getattr(mod, fn)(
+                    table.stacks[kid], *a, **_e
+                )
+            else:
+                params = _gather_params(table.stacks[kid], slot_safe)
+                kw = {"uv": uv} if getattr(mod, "NEEDS_UV", False) else {}
+                call = lambda fn, *a, _p=params, _k=kw: getattr(mod, fn)(
+                    _p, *a, **_k
+                )
+            wo, p_s, weight, is_delta = call("sample", wi, sample2, sample1)
+            if has_nee:
+                f_nee = call("eval", wi, wo_nee)
+                p_nee = call("pdf", wi, wo_nee)
+            else:
+                f_nee = jnp.zeros(shape + (3,))
+                p_nee = jnp.zeros(shape)
+            f_att = (
+                call("eval", wi, jax.lax.stop_gradient(wo))
+                if need_attached else None
+            )
+            res = (f_nee, p_nee, wo, p_s, weight, is_delta, f_att)
+        if out is None:
+            out = tuple(
+                None if r is None else jnp.zeros_like(r) for r in res
+            )
+        out = tuple(
+            o if r is None else jnp.where(
+                mask.reshape(mask.shape + (1,) * (o.ndim - mask.ndim)), r, o
+            )
+            for o, r in zip(out, res)
+        )
+    if out is None:  # only-null scenes (media boundaries)
+        return (
+            jnp.zeros(shape + (3,)), jnp.zeros(shape), jnp.zeros_like(wi),
+            jnp.zeros(shape), jnp.zeros(shape + (3,)),
+            jnp.zeros(shape, bool),
+            jnp.zeros(shape + (3,)) if need_attached else None,
+        )
+    return out

@@ -60,11 +60,26 @@ SAMPLE_RES_PHI = 64
 # packed row-gather elsewhere), or "packed" / "sorted".
 EVAL_PATH = None
 
+# Forced sampling-CDF path for the fused bounce_shade: None = auto (sorted
+# Pallas kernel on TPU, one-hot MXU fetches elsewhere), or "onehot" /
+# "sorted".
+SAMPLE_PATH = None
+
+# Route the Pallas kernels through interpret mode (CPU testing of the
+# production TPU path — tests/test_ops.py, tests/test_render.py).
+INTERPRET = False
+
 
 def _eval_path():
     if EVAL_PATH is not None:
         return EVAL_PATH
     return "sorted" if jax.default_backend() == "tpu" else "packed"
+
+
+def _sample_path():
+    if SAMPLE_PATH is not None:
+        return SAMPLE_PATH
+    return "sorted" if jax.default_backend() == "tpu" else "onehot"
 
 
 class TabulatedBRDF(NamedTuple):
@@ -91,6 +106,7 @@ class TabulatedBRDF(NamedTuple):
     corners: jnp.ndarray
     sampling: Marginal2D
     perm: jnp.ndarray = None
+    condT: jnp.ndarray = None
 
     @staticmethod
     def build(table):
@@ -98,14 +114,16 @@ class TabulatedBRDF(NamedTuple):
 
         Called inside the jitted optimization step after each table update
         (SURVEY.md §3.5 'params.update() rebuilds sampling CDFs')."""
-        from mitsuba_customization_tpu.ops import merl_sorted
+        from mitsuba_customization_tpu.ops import marginal_sorted, merl_sorted
 
         sorted_path = _eval_path() == "sorted"
+        sampling = _build_sampling(table)
         return TabulatedBRDF(
             table=table,
             corners=None if sorted_path else _pack_corners(table),
-            sampling=_build_sampling(table),
+            sampling=sampling,
             perm=merl_sorted.pack_perm(table),
+            condT=marginal_sorted.pack_condT(sampling.cdf_cond),
         )
 
     @staticmethod
@@ -115,16 +133,18 @@ class TabulatedBRDF(NamedTuple):
         The multi-material HBM-resident BRDF stack (BASELINE configs[4]:
         "10 MERL materials"); eval/pdf/sample then take per-lane `slot`.
         """
-        from mitsuba_customization_tpu.ops import merl_sorted
+        from mitsuba_customization_tpu.ops import marginal_sorted, merl_sorted
 
         sorted_path = _eval_path() == "sorted"
+        sampling = jax.vmap(_build_sampling)(tables)
         return TabulatedBRDF(
             table=tables,
             corners=(
                 None if sorted_path else jax.vmap(_pack_corners)(tables)
             ),
-            sampling=jax.vmap(_build_sampling)(tables),
+            sampling=sampling,
             perm=merl_sorted.pack_perm(tables),
+            condT=marginal_sorted.pack_condT(sampling.cdf_cond),
         )
 
 
@@ -297,6 +317,16 @@ def eval_packed(corners, table_shape, wi, wo, slot=None, mask=None):
     return jnp.where(above[..., None], jnp.maximum(val, 0.0), 0.0)
 
 
+def _normalize_slot(params, slot):
+    """Drop `slot` for unstacked tables.
+
+    A slot index only selects a material from a stacked (n_mat, ...) build;
+    passing one against a single-table build would otherwise mis-index the
+    sampling stacks (slot would be consumed as the theta_i-bin index).
+    """
+    return slot if params.table.ndim == 5 else None
+
+
 def eval_f(params: TabulatedBRDF, wi, wo, slot=None, mask=None):
     """Interpolated f(wi, wo) (no cosine) through the fastest available path.
 
@@ -304,13 +334,14 @@ def eval_f(params: TabulatedBRDF, wi, wo, slot=None, mask=None):
     row-gather at 2M lanes, scripts/bench_sorted.py). Elsewhere: the
     corner-block packed row-gather. Both match eval_raw.
     """
+    slot = _normalize_slot(params, slot)
     if _eval_path() == "sorted" and params.perm is not None:
         from mitsuba_customization_tpu.ops import merl_sorted
 
         lanes = wi.shape[:-1]
         if len(lanes) == 1:
             return merl_sorted.eval_trilinear(
-                params.table, params.perm, wi, wo, slot, mask
+                params.table, params.perm, wi, wo, slot, mask, INTERPRET
             )
         def flat(x):
             return None if x is None else x.reshape(
@@ -319,7 +350,7 @@ def eval_f(params: TabulatedBRDF, wi, wo, slot=None, mask=None):
 
         out = merl_sorted.eval_trilinear(
             params.table, params.perm, flat(wi), flat(wo),
-            flat(slot), flat(mask),
+            flat(slot), flat(mask), INTERPRET,
         )
         return out.reshape(lanes + (3,))
     if params.corners is not None:
@@ -433,6 +464,7 @@ def _table_pdf_canonical(sampling, theta_i, wo_c, wi_c, slot=None,
 
 def pdf(params: TabulatedBRDF, wi, wo, slot=None, mask=None):
     """BSDF::pdf — density of sample() in solid angle at wo."""
+    slot = _normalize_slot(params, slot)
     if mask is not None and slot is not None:
         slot = jnp.where(mask, slot, 0)
     theta_i, phi_i = _canonical_wi(wi)
@@ -455,6 +487,7 @@ def sample(params: TabulatedBRDF, wi, sample2, sample1=None, slot=None,
     component (derived from sample2 by CDF-reuse if not given).
     Returns (wo, pdf, weight = f*cos/pdf).
     """
+    slot = _normalize_slot(params, slot)
     theta_i, phi_i = _canonical_wi(wi)
     wi_c = m.sph_to_dir(theta_i, jnp.zeros_like(theta_i))
 
@@ -509,4 +542,197 @@ def sample(params: TabulatedBRDF, wi, sample2, sample1=None, slot=None,
     weight = m.safe_div(f_cos, p[..., None])
     weight = jnp.where(valid[..., None], weight, 0.0)
     return wo, jnp.where(valid, p, 0.0), weight, jnp.zeros_like(valid)
+
+
+# --------------------------------------------------------------------------
+# Fused per-bounce path (one sampling kernel pass + one combined eval pass)
+# --------------------------------------------------------------------------
+
+
+def _row_mass_at(rows, r):
+    """Marginal-CDF cell mass at per-lane row r from fetched (lanes, H) rows."""
+    from mitsuba_customization_tpu.core.distr import _select_at
+
+    hi = _select_at(rows, r)
+    lo = _select_at(rows, jnp.maximum(r - 1, 0)) * (r > 0)
+    return hi - lo
+
+
+def _square_cells(wi_c, wo_c):
+    """Canonical-frame direction pair -> half-vector square coords + cells.
+
+    Returns (y, x, r, c, denom) where denom = jac_h * 4|wo.h| converts the
+    square density to solid angle at wo (matches _table_pdf_canonical).
+    """
+    h = m.normalize(wi_c + wo_c)
+    y, x = _square_from_halfvec(h)
+    r = jnp.clip((y * SAMPLE_RES_H).astype(jnp.int32), 0, SAMPLE_RES_H - 1)
+    c = jnp.clip((x * SAMPLE_RES_PHI).astype(jnp.int32), 0,
+                 SAMPLE_RES_PHI - 1)
+    theta_h = HALF_PI * y * y
+    jac_h = 2.0 * jnp.pi * jnp.pi * y * jnp.sin(theta_h)
+    denom = jac_h * 4.0 * jnp.abs(m.dot(wo_c, h))
+    return y, x, r, c, denom
+
+
+def bounce_shade(params: TabulatedBRDF, wi, wo_nee, sample2, sample1=None,
+                 slot=None, mask=None, mask_nee=None, need_attached=False):
+    """All tabulated-BRDF work of one path-tracer bounce, fused.
+
+    Replaces the round-2 sequence {eval_pdf(wo_nee), sample(), eval(wo)} —
+    which paid two sorted eval-kernel passes plus 4-6 one-hot CDF fetches
+    (gigabytes of one-hot HBM traffic at wavefront scale) — with:
+
+      * one ops/marginal_sorted pass: conditional-CDF inversion for the
+        luminance sample + cell masses for the NEE and cosine-branch pdfs;
+      * marginal-row work through one small one-hot fetch (<= n_mat * 32
+        rows — cheap on the MXU);
+      * ONE combined trilinear eval over [wo_nee ; wo_sampled] (2N lanes,
+        one sort, one segment walk) through eval_f's production path.
+
+    Returns (f_nee, pdf_nee, wo, pdf_s, weight, is_delta) with f_nee and
+    weight including the cosine term, matching eval()/sample(). All
+    sampling quantities (wo, pdfs) are detached; f_nee / weight carry
+    table gradients through eval_f (detached-estimator contract,
+    SURVEY.md §3.2). need_attached keeps signature parity with the
+    dispatch layer (the attached eval at wo *is* the fused one here).
+    """
+    from mitsuba_customization_tpu.core.distr import (
+        _fetch_stacked,
+        _invert_cdf,
+    )
+    from mitsuba_customization_tpu.ops import marginal_sorted
+
+    sg = jax.lax.stop_gradient
+    slot = _normalize_slot(params, slot)
+    wi = sg(wi)
+    wo_nee = sg(wo_nee)
+    n = wi.shape[0]
+    cos_wi_ok = m.cos_theta(wi) > 0.0
+    any_mask = cos_wi_ok
+    if mask is not None and mask_nee is not None:
+        any_mask = any_mask & (mask | mask_nee)
+    elif mask is not None:
+        any_mask = any_mask & mask
+
+    theta_i, phi_i = _canonical_wi(wi)
+    wi_c = m.sph_to_dir(theta_i, jnp.zeros_like(theta_i))
+    tbin = _slice_index(theta_i)
+    tbin = jnp.where(any_mask, tbin, 0)
+    slot_safe = None
+    if slot is not None:
+        slot_safe = jnp.where(any_mask, slot, 0)
+
+    # ---- mixture branch selection (identical to sample()) ----
+    if sample1 is None:
+        u0 = sample2[..., 0]
+        use_cos = u0 < COSINE_MIX
+        u0r = jnp.where(
+            use_cos, u0 / COSINE_MIX, (u0 - COSINE_MIX) / (1.0 - COSINE_MIX)
+        )
+        sample2 = jnp.stack(
+            [jnp.clip(u0r, 0.0, 1.0 - 1e-7), sample2[..., 1]], axis=-1
+        )
+    else:
+        use_cos = sample1 < COSINE_MIX
+    u_row, u_col = sample2[..., 0], sample2[..., 1]
+
+    # ---- marginal-row work (small one-hot fetch + masked reductions) ----
+    slc = (tbin,) if slot_safe is None else (slot_safe, tbin)
+    cdf_rows = sg(_fetch_stacked(params.sampling.cdf_row, slc))  # (N, H)
+    r_own, row_lo, row_mass_own = _invert_cdf(cdf_rows, u_row)
+    dy = jnp.clip(
+        (u_row - row_lo) / jnp.maximum(row_mass_own, 1e-20), 0.0, 1.0 - 1e-7
+    )
+
+    # NEE / cosine-branch half-vector cells (canonical frame)
+    wo_nee_c = _rotate_phi(wo_nee, -phi_i)
+    nee_ok = m.cos_theta(wo_nee) > 0.0
+    if mask_nee is not None:
+        nee_ok = nee_ok & mask_nee
+    wo_nee_c = jnp.where(nee_ok[..., None], wo_nee_c, wi_c)  # NaN-free
+    _, _, r_nee, c_nee, denom_nee = _square_cells(wi_c, wo_nee_c)
+
+    wo_cos = square_to_cosine_hemisphere(sample2)
+    _, _, r_cos, c_cos, denom_cos = _square_cells(wi_c, wo_cos)
+
+    # ---- conditional-CDF kernel (sorted by (slot, theta_i bin)) ----
+    flat_key = tbin if slot_safe is None else (
+        slot_safe * N_THETA_I + tbin
+    )
+    if _sample_path() == "sorted":
+        x, mass_own, mass_nee, mass_cos = marginal_sorted.cond_sample_pdf(
+            sg(params.condT), SAMPLE_RES_H, flat_key, u_col, r_own, r_nee,
+            c_nee, r_cos, c_cos, any_mask, interpret=INTERPRET,
+        )
+    else:
+        # one-hot fallback (CPU tests / parity checks)
+        cond = sg(_fetch_stacked(params.sampling.cdf_cond, slc + (r_own,)))
+        col, col_lo, mass_own = _invert_cdf(cond, u_col)
+        dx = jnp.clip(
+            (u_col - col_lo) / jnp.maximum(mass_own, 1e-20), 0.0, 1.0 - 1e-7
+        )
+        x = (col.astype(jnp.float32) + dx) / SAMPLE_RES_PHI
+        cond_nee = sg(
+            _fetch_stacked(params.sampling.cdf_cond, slc + (r_nee,))
+        )
+        mass_nee = _row_mass_at(cond_nee, c_nee)
+        cond_cos = sg(
+            _fetch_stacked(params.sampling.cdf_cond, slc + (r_cos,))
+        )
+        mass_cos = _row_mass_at(cond_cos, c_cos)
+
+    hw = SAMPLE_RES_H * SAMPLE_RES_PHI
+
+    # ---- assemble the sampled direction + its pdf ----
+    y = (r_own.astype(jnp.float32) + dy) / SAMPLE_RES_H
+    h, jac_h = _halfvec_from_square(y, x)
+    wo_tab = 2.0 * m.dot_keep(wi_c, h) * h - wi_c
+    denom_own = jac_h * 4.0 * jnp.abs(m.dot(wo_tab, h))
+    p_tab_own = m.safe_div(row_mass_own * mass_own * hw, denom_own)
+    row_mass_cos = _row_mass_at(cdf_rows, r_cos)
+    p_tab_cos = m.safe_div(row_mass_cos * mass_cos * hw, denom_cos)
+
+    wo_c = jnp.where(use_cos[..., None], wo_cos, wo_tab)
+    wo = sg(_rotate_phi(wo_c, phi_i))
+    p_tab = jnp.where(use_cos, p_tab_cos, p_tab_own)
+    p_cos = square_to_cosine_hemisphere_pdf(wo_c)
+    pdf_s = sg((1.0 - COSINE_MIX) * p_tab + COSINE_MIX * p_cos)
+    valid_s = (
+        (pdf_s > 1e-12) & (m.cos_theta(wo_c) > 0.0) & cos_wi_ok
+    )
+    if mask is not None:
+        valid_s_m = valid_s & mask
+    else:
+        valid_s_m = valid_s
+
+    # ---- NEE pdf (MIS) ----
+    row_mass_nee = _row_mass_at(cdf_rows, r_nee)
+    p_tab_nee = m.safe_div(row_mass_nee * mass_nee * hw, denom_nee)
+    p_cos_nee = square_to_cosine_hemisphere_pdf(wo_nee_c)
+    pdf_nee = (1.0 - COSINE_MIX) * p_tab_nee + COSINE_MIX * p_cos_nee
+    pdf_nee = sg(jnp.where(nee_ok & cos_wi_ok, pdf_nee, 0.0))
+
+    # ---- ONE combined trilinear eval over [wo_nee ; wo_sampled] ----
+    wi2 = jnp.concatenate([wi, wi], axis=0)
+    wo2 = jnp.concatenate([wo_nee, wo], axis=0)
+    slot2 = None
+    if slot_safe is not None:
+        slot2 = jnp.concatenate([slot_safe, slot_safe], axis=0)
+    mask2 = jnp.concatenate([nee_ok & cos_wi_ok, valid_s_m], axis=0)
+    f2 = eval_f(params, wi2, wo2, slot=slot2, mask=mask2)
+    cos2 = jnp.maximum(m.cos_theta(wo2), 0.0)[..., None]
+    f2 = f2 * cos2
+    f_nee, f_s = f2[:n], f2[n:]
+
+    weight = m.safe_div(f_s, pdf_s[..., None])
+    weight = jnp.where(valid_s[..., None], weight, 0.0)
+    return (
+        f_nee,
+        pdf_nee,
+        wo,
+        jnp.where(valid_s, pdf_s, 0.0),
+        weight,
+        jnp.zeros_like(valid_s),
+    )
 

@@ -118,10 +118,15 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
 
         active = active & si.valid
 
-        # ---- next-event estimation (path length b+2 must fit) ----
+        # ---- NEE direction + fused per-bounce BSDF work ----
+        # One bounce_shade dispatch covers {eval_pdf toward the light,
+        # BSDF sampling, attached eval at the sampled wo} — each kernel
+        # runs once per bounce (SURVEY.md §2.7 P5; round-2 verdict item 8).
         smp_nee = smp.with_dim(
             CAMERA_DIMS + b.astype(jnp.uint32) * BOUNCE_DIMS + _OFF_NEE
         )
+        u2 = smp.next_2d()
+        u_lobe = smp.next_1d()
         if has_emitters:
             u3 = jnp.stack(
                 [smp_nee.next_1d(), smp_nee.next_1d(), smp_nee.next_1d()],
@@ -132,9 +137,17 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
             )
             nee_ok = active & (ds.pdf > 0.0) & (b + 2 <= max_depth)
             wo_local = si.to_local(ds.d)
-            f_nee, bsdf_pdf_nee = bsdf_mod.eval_pdf(
-                scene.bsdfs, si.mat_id, si.wi, wo_local, uv=si.uv
+        else:
+            wo_local = si.wi
+
+        f_nee, bsdf_pdf_nee, wo, bsdf_pdf, weight, is_delta, f_attached = (
+            bsdf_mod.bounce_shade(
+                scene.bsdfs, si.mat_id, si.wi, wo_local, u2, u_lobe,
+                uv=si.uv, need_attached=ad_mode, has_nee=has_emitters,
             )
+        )
+
+        if has_emitters:
             shadow = geo.spawn_ray(si, ds.d)
             maxt = jnp.where(
                 jnp.isinf(ds.dist), _SHADOW_INF, ds.dist * (1.0 - 1e-3)
@@ -155,20 +168,13 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
                 (nee_ok & jnp.logical_not(occ))[..., None], contrib, 0.0
             )
 
-        # ---- BSDF sampling: spawn the next segment ----
-        u2 = smp.next_2d()
-        u_lobe = smp.next_1d()
-        wo, bsdf_pdf, weight, is_delta = bsdf_mod.sample(
-            scene.bsdfs, si.mat_id, si.wi, u2, u_lobe, uv=si.uv
-        )
+        # ---- BSDF-sampled continuation: spawn the next segment ----
         wo = sg(wo)
         bsdf_pdf = sg(bsdf_pdf)
         if ad_mode:
             # Detached estimator: non-delta throughput = eval(attached) /
             # pdf(detached); delta lobes keep their analytic sample weight
             # (direction is a deterministic detached map, no pdf involved).
-            f_attached = bsdf_mod.eval(scene.bsdfs, si.mat_id, si.wi, wo,
-                                       uv=si.uv)
             w_nondelta = m.safe_div(f_attached, sg(bsdf_pdf)[..., None])
             weight = jnp.where(is_delta[..., None], weight, w_nondelta)
         thr = thr * jnp.where(active[..., None], weight, 1.0)
@@ -287,8 +293,10 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
         real_surf = surf_event & jnp.logical_not(is_null)
         null_surf = surf_event & is_null
 
-        # ---- NEE from medium scatter points and real surfaces ----
+        # ---- NEE direction + fused per-bounce BSDF work ----
         smp_nee = smp.with_dim(CAMERA_DIMS + bu * BOUNCE_DIMS + _OFF_NEE)
+        u2 = smp.next_2d()
+        u_lobe = smp.next_1d()
         if has_emitters:
             u3 = jnp.stack(
                 [smp_nee.next_1d(), smp_nee.next_1d(), smp_nee.next_1d()],
@@ -298,14 +306,21 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
             ds = em_mod.sample_direction(
                 scene.emitters, scene.geometry, p_ref, u3
             )
+            wo_local = si.to_local(ds.d)
+        else:
+            wo_local = si.wi
+
+        (f_surf, pdf_surf, wo_b, bsdf_pdf, weight_b, is_delta_b,
+         f_attached) = bsdf_mod.bounce_shade(
+            scene.bsdfs, si.mat_id, si.wi, wo_local, u2, u_lobe,
+            uv=si.uv, need_attached=ad_mode, has_nee=has_emitters,
+        )
+
+        if has_emitters:
             nee_ok = (
                 (med_event | real_surf) & (ds.pdf > 0.0) & (b + 2 <= max_depth)
             )
             # scatter function value + its pdf toward the light
-            wo_local = si.to_local(ds.d)
-            f_surf, pdf_surf = bsdf_mod.eval_pdf(
-                scene.bsdfs, si.mat_id, si.wi, wo_local, uv=si.uv
-            )
             ph_val = phase_mod.eval(ph_type, ph_g, wi_world, ds.d)
             f_scat = jnp.where(
                 med_event[..., None], ph_val[..., None], f_surf
@@ -347,16 +362,9 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
             )
 
         # ---- continuation: phase sample | bsdf sample | null passthrough --
-        u2 = smp.next_2d()
-        u_lobe = smp.next_1d()
-        wo_b, bsdf_pdf, weight_b, is_delta_b = bsdf_mod.sample(
-            scene.bsdfs, si.mat_id, si.wi, u2, u_lobe, uv=si.uv
-        )
         wo_b = sg(wo_b)
         bsdf_pdf = sg(bsdf_pdf)
         if ad_mode:
-            f_attached = bsdf_mod.eval(scene.bsdfs, si.mat_id, si.wi, wo_b,
-                                       uv=si.uv)
             w_nondelta = m.safe_div(f_attached, sg(bsdf_pdf)[..., None])
             weight_b = jnp.where(is_delta_b[..., None], weight_b, w_nondelta)
         d_bsdf_world = si.to_world(wo_b)

@@ -205,3 +205,135 @@ class TestCondSamplePdf:
         # (col + dx)/W can round to exactly 1.0 in f32 — same as the
         # Marginal2D baseline; consumers treat x periodically.
         assert float(out[0].min()) >= 0.0 and float(out[0].max()) <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Production TPU configuration end-to-end (sorted kernels via interpret)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def sorted_paths():
+    """Force the production TPU kernel paths through interpret mode."""
+    ep, sp, ip = tb.EVAL_PATH, tb.SAMPLE_PATH, tb.INTERPRET
+    tb.EVAL_PATH, tb.SAMPLE_PATH, tb.INTERPRET = "sorted", "sorted", True
+    yield
+    tb.EVAL_PATH, tb.SAMPLE_PATH, tb.INTERPRET = ep, sp, ip
+
+
+def _small_table(rng, shape=(16, 16, 32, 3)):
+    t = rng.random(shape).astype(np.float32) * 0.5 + 0.05
+    for ax in range(3):
+        t = (t + np.roll(t, 1, axis=ax)) / 2
+    return jnp.asarray(t)
+
+
+class TestBounceShadeFused:
+    """tabulated.bounce_shade (sorted kernels) vs the one-hot composition."""
+
+    def _run(self, rng, path):
+        table = _small_table(rng)
+        params = tb.TabulatedBRDF.build(table)
+        n = 1500
+        wi = _unit(rng, n, True)
+        wo_nee = _unit(rng, n, True)
+        sample2 = jnp.asarray(rng.random((n, 2)), jnp.float32)
+        sample1 = jnp.asarray(rng.random(n), jnp.float32)
+        slot = jnp.zeros(n, jnp.int32)
+        mask = jnp.asarray(rng.random(n) > 0.3)
+        old = tb.SAMPLE_PATH
+        tb.SAMPLE_PATH = path
+        try:
+            out = tb.bounce_shade(
+                params, wi, wo_nee, sample2, sample1, slot=slot,
+                mask=mask, mask_nee=mask,
+            )
+        finally:
+            tb.SAMPLE_PATH = old
+        return out, (params, wi, wo_nee, sample2, sample1, slot, mask)
+
+    def test_sorted_matches_onehot(self, sorted_paths):
+        got, aux = self._run(np.random.default_rng(0), "sorted")
+        ref, _ = self._run(np.random.default_rng(0), "onehot")
+        mask = np.asarray(aux[-1])  # dispatch discards masked-out lanes
+        names = ["f_nee", "pdf_nee", "wo", "pdf_s", "weight", "is_delta"]
+        for name, a, b in zip(names, got, ref):
+            np.testing.assert_allclose(
+                np.asarray(a)[mask], np.asarray(b)[mask], rtol=2e-2,
+                atol=2e-3, err_msg=name,
+            )
+
+    def test_onehot_matches_legacy_calls(self, rng):
+        """bounce_shade == {eval, pdf, sample} composed, exactly."""
+        (f_nee, pdf_nee, wo, pdf_s, weight, _), (
+            params, wi, wo_nee, sample2, sample1, slot, mask
+        ) = self._run(rng, "onehot")
+        f_ref = tb.eval(params, wi, wo_nee, slot=slot, mask=mask)
+        p_ref = tb.pdf(params, wi, wo_nee, slot=slot, mask=mask)
+        wo_ref, p_s_ref, w_ref, _ = tb.sample(
+            params, wi, sample2, sample1, slot=slot, mask=mask
+        )
+        v = np.asarray(mask)
+        np.testing.assert_allclose(
+            np.asarray(f_nee)[v], np.asarray(f_ref)[v], rtol=1e-5, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(pdf_nee)[v], np.asarray(p_ref)[v], rtol=1e-5,
+            atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(wo)[v], np.asarray(wo_ref)[v], rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(pdf_s)[v], np.asarray(p_s_ref)[v], rtol=1e-5,
+            atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(weight)[v], np.asarray(w_ref)[v], rtol=1e-5, atol=1e-6
+        )
+
+
+@pytest.mark.slow
+class TestSortedRenderEndToEnd:
+    def test_render_sorted_vs_packed(self, rng, sorted_paths):
+        """Full flagship render through the production TPU kernel paths."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from __graft_entry__ import _flagship_scene
+        from mitsuba_customization_tpu.render.integrator import render
+
+        scene = _flagship_scene(res=24, spp=4, depth=3)
+        img_sorted = np.asarray(render(scene, spp=4, seed=0))
+
+        tb.EVAL_PATH, tb.SAMPLE_PATH = "packed", "onehot"
+        scene2 = _flagship_scene(res=24, spp=4, depth=3)
+        img_ref = np.asarray(render(scene2, spp=4, seed=0))
+
+        assert np.isfinite(img_sorted).all()
+        # identical sample streams; only kernel arithmetic differs (16-bit
+        # fraction packing in the sorted eval)
+        np.testing.assert_allclose(img_sorted, img_ref, rtol=0.05, atol=5e-3)
+
+    def test_grad_sorted_path(self, rng, sorted_paths):
+        """Table gradients through the full sorted ad_mode render."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from __graft_entry__ import _flagship_scene
+        from mitsuba_customization_tpu.render import params as params_mod
+        from mitsuba_customization_tpu.render.integrator import render
+
+        scene = _flagship_scene(res=16, spp=2, depth=2)
+        full = params_mod.traverse(scene)
+        key = "bsdf.tabulated.table"
+
+        def loss(tbl):
+            sc = params_mod.update(scene, {key: tbl})
+            img = render(sc, spp=2, seed=0, ad_mode=True)
+            return jnp.mean(img ** 2)
+
+        g = jax.grad(loss)(full[key])
+        g = np.asarray(g)
+        assert np.isfinite(g).all()
+        assert np.abs(g).max() > 0.0
