@@ -9,10 +9,12 @@ multi-host TPU pod slice"), the scene/BRDF tensors replicate per device
 (P7), and parameter gradients `psum` over the mesh — XLA's latency-hiding
 scheduler overlaps the all-reduce with the backward sweep (P6).
 
-Topology: a single logical axis 'shards' laid over (dcn, ici) device
-order — jax.make_mesh puts hosts on the outer axis, so contiguous row
-slabs land host-local and the only cross-host traffic is the gradient
-all-reduce and (optionally) the final image gather.
+Topology: either a flat 1-D mesh ('shards') or the explicit 2-level
+('dcn', 'ici') mesh of SURVEY.md §2.8 — hosts on the outer (DCN) axis,
+chips within a host on the inner (ICI) axis. Row slabs shard over the
+*flattened* axes with hosts outermost, so contiguous rows land host-local
+and DCN only carries the gradient/film reductions. All entry points accept
+either topology (they reduce over every mesh axis).
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from mitsuba_customization_tpu.render import film as film_mod
 from mitsuba_customization_tpu.render import params as params_mod
@@ -41,6 +43,30 @@ def make_mesh(devices=None):
     return Mesh(np.asarray(devices), (AXIS,))
 
 
+def make_mesh_2level(devices=None, n_hosts=None):
+    """Explicit ('dcn', 'ici') 2-level mesh (SURVEY.md §2.8).
+
+    Outer axis = hosts (cross-host DCN traffic), inner axis = chips within
+    a host (ICI). jax.devices() is host-major, so a plain reshape puts
+    each row of the mesh on one host. n_hosts defaults to
+    jax.process_count() (1 in single-process runs — the inner axis then
+    carries everything, which is exactly the single-host topology).
+    """
+    devices = devices if devices is not None else jax.devices()
+    devices = np.asarray(devices)
+    n_hosts = n_hosts or jax.process_count()
+    if devices.size % n_hosts != 0:
+        raise ValueError(
+            f"{devices.size} devices do not split over {n_hosts} hosts"
+        )
+    return Mesh(devices.reshape(n_hosts, -1), ("dcn", "ici"))
+
+
+def _axes(mesh):
+    """All mesh axis names, outermost first — the reduction spec."""
+    return tuple(mesh.axis_names)
+
+
 def _check_divisible(height, n_dev):
     if height % n_dev != 0:
         raise ValueError(
@@ -49,7 +75,7 @@ def _check_divisible(height, n_dev):
 
 
 def render_sharded(scene, mesh=None, spp=None, seed=0):
-    """Render with image rows sharded over the mesh.
+    """Render with image rows sharded over the mesh (1-D or ('dcn','ici')).
 
     Returns a fully-replicated (H, W, 3) image (gathered once at the end —
     the analogue of result tiles streaming back to the 0.6 master).
@@ -61,6 +87,7 @@ def render_sharded(scene, mesh=None, spp=None, seed=0):
     bit-for-bit the same estimator as the single-device splat.
     """
     mesh = mesh or make_mesh()
+    axes = _axes(mesh)
     cfg = scene.config
     spp = spp or cfg.spp
     n_dev = mesh.devices.size
@@ -70,9 +97,11 @@ def render_sharded(scene, mesh=None, spp=None, seed=0):
 
     if cfg.rfilter == "box":
 
-        @partial(jax.shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(AXIS))
+        @partial(
+            jax.shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(axes)
+        )
         def body(scene_rep):
-            idx = jax.lax.axis_index(AXIS)
+            idx = jax.lax.axis_index(axes)
             offset = idx.astype(jnp.uint32) * jnp.uint32(lanes_local)
             L, _, _ = render_lanes(
                 scene_rep, spp, jnp.uint32(seed),
@@ -84,7 +113,7 @@ def render_sharded(scene, mesh=None, spp=None, seed=0):
 
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(),), out_specs=P())
     def body_splat(scene_rep):
-        idx = jax.lax.axis_index(AXIS)
+        idx = jax.lax.axis_index(axes)
         offset = idx.astype(jnp.uint32) * jnp.uint32(lanes_local)
         L, film_xy, _ = render_lanes(
             scene_rep, spp, jnp.uint32(seed),
@@ -94,8 +123,8 @@ def render_sharded(scene, mesh=None, spp=None, seed=0):
             L, film_xy, cfg.height, cfg.width,
             film_mod.FILTER_NAMES[cfg.rfilter],
         )
-        img = jax.lax.psum(img, AXIS)
-        wsum = jax.lax.psum(wsum, AXIS)
+        img = jax.lax.psum(img, axes)
+        wsum = jax.lax.psum(wsum, axes)
         return img / jnp.maximum(wsum, 1e-12)[..., None]
 
     return body_splat(scene)
@@ -113,22 +142,24 @@ def _render_sharded_jit(scene, mesh, spp, seed):
 
 
 def loss_and_grad_sharded(scene, params, target, mesh=None, spp=None, seed=0):
-    """Distributed MSE loss + parameter gradients.
+    """Distributed MSE loss + parameter gradients (any rfilter).
 
     Each shard renders its rows in ad_mode (path replay), differentiates
-    its local loss, and the per-parameter gradients (including the full
+    the loss, and the per-parameter gradients (including the full
     BRDF-table gradient tensor) all-reduce with `psum` over the mesh —
     inserted inside the backward computation so XLA overlaps it with the
     remaining backward sweep (BASELINE north_star P6).
+
+    Box filter: each shard's rows are disjoint, so the local losses psum.
+    Splat filters: the shard's lanes scatter into a full-size film that
+    psums *inside* the differentiated function (same full-film strategy as
+    the forward path), the replicated image yields a global loss, and the
+    AD transpose of the psum routes each shard its own cotangent slice.
     """
     mesh = mesh or make_mesh()
+    axes = _axes(mesh)
     cfg = scene.config
-    if cfg.rfilter != "box":
-        raise NotImplementedError(
-            "loss_and_grad_sharded develops with the box filter; set "
-            "cfg.rfilter='box' (splat filters are supported in "
-            "render_sharded, not yet in the sharded loss)"
-        )
+    box = cfg.rfilter == "box"
     spp = int(spp or cfg.spp)
     n_dev = mesh.devices.size
     _check_divisible(cfg.height, n_dev)
@@ -139,24 +170,35 @@ def loss_and_grad_sharded(scene, params, target, mesh=None, spp=None, seed=0):
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(AXIS)),
+        in_specs=(P(), P(), P(axes) if box else P()),
         out_specs=(P(), P()),
     )
-    def body(scene_rep, params_rep, target_shard):
-        idx = jax.lax.axis_index(AXIS)
+    def body(scene_rep, params_rep, target_in):
+        idx = jax.lax.axis_index(axes)
         offset = idx.astype(jnp.uint32) * jnp.uint32(lanes_local)
 
         def local_loss(p):
             scene_p = params_mod.update(scene_rep, p)
-            L, _, _ = render_lanes(
+            L, film_xy, _ = render_lanes(
                 scene_p, spp, jnp.uint32(seed),
                 lane_offset=offset, n_lanes=lanes_local, ad_mode=True,
             )
-            img = film_mod.develop_box(L, rows_local, cfg.width, spp)
-            return jnp.sum((img - target_shard) ** 2) * inv_n
+            if box:
+                img = film_mod.develop_box(L, rows_local, cfg.width, spp)
+                return jnp.sum((img - target_in) ** 2) * inv_n
+            img, wsum = film_mod.splat(
+                L, film_xy, cfg.height, cfg.width,
+                film_mod.FILTER_NAMES[cfg.rfilter],
+            )
+            img = jax.lax.psum(img, axes)
+            wsum = jax.lax.psum(wsum, axes)
+            img = img / jnp.maximum(wsum, 1e-12)[..., None]
+            # img is replicated across shards; the loss is already global
+            return jnp.sum((img - target_in) ** 2) * inv_n
 
         loss, grads = jax.value_and_grad(local_loss)(params_rep)
-        loss = jax.lax.psum(loss, AXIS)
+        if box:
+            loss = jax.lax.psum(loss, axes)
         # NOTE: no explicit psum on grads. params_rep enters shard_map
         # replicated (in_specs=P()), so the AD transpose of its broadcast
         # into the varying render IS a psum — value_and_grad already
@@ -173,9 +215,17 @@ def loss_and_grad_sharded_jit(scene, params, target, mesh, spp, seed):
     return loss_and_grad_sharded(scene, params, target, mesh, spp, seed)
 
 
-def initialize_distributed(coordinator=None, num_processes=None, process_id=None):
+def initialize_distributed(coordinator=None, num_processes=None,
+                           process_id=None):
     """Multi-host bring-up (jax.distributed) — replaces mtssrv's TCP
-    handshake (SURVEY.md §2.8). No-op when running single-process."""
+    handshake (SURVEY.md §2.8). No-op when running single-process.
+
+    MUST run before any JAX computation initializes the backend — in
+    particular before importing mitsuba_customization_tpu render modules
+    (some build device constants at import). Tested by
+    tests/test_distributed.py through a 2-process localhost loopback (the
+    mtssrv-on-localhost pattern, SURVEY.md §4.2).
+    """
     if num_processes is None or num_processes <= 1:
         return
     jax.distributed.initialize(

@@ -111,15 +111,21 @@ def main():
     table = jnp.asarray(
         np.abs(rng.standard_normal((90, 90, 180, 3))), jnp.float32
     )
+    # Build the corner-block layout explicitly: on TPU TabulatedBRDF.build
+    # sets corners=None and tb.eval would route to the sorted kernel,
+    # silently benchmarking it against itself (round-2 verdict item 3).
+    corners = tb._pack_corners(table)
     tab = tb.TabulatedBRDF.build(table)
     perm = ms.pack_perm(table)
 
-    def packed(c, i, params, _perm, _tbl):
+    def packed(c, i, corners_, _perm, _tbl):
         wi = unit_vec(i, c, 0)
         wo = unit_vec(i + 5, c, 1)
-        return c + tb.eval(params, wi, wo).sum(-1) * 1e-9
+        f = tb.eval_packed(corners_, (90, 90, 180), wi, wo)
+        f = f * jnp.maximum(wo[..., 2], 0.0)[..., None]
+        return c + f.sum(-1) * 1e-9
 
-    bench("merl eval packed (repo round-1)", packed, tab, perm, table)
+    bench("merl eval packed (repo round-1)", packed, corners, perm, table)
 
     def sorted_eval(c, i, _params, perm, tbl):
         wi = unit_vec(i, c, 0)

@@ -171,6 +171,29 @@ def main():
         )[0].sum(-1),
     )
 
+    def bshade(c, i):
+        out = bsdf_mod.bounce_shade(
+            scene.bsdfs, mat_id, unit_vec(i, c, 0), unit_vec(i, c, 7),
+            jnp.stack([rand01(i, c, 3), rand01(i, c, 4)], axis=-1),
+            rand01(i, c, 5),
+        )
+        return c * 0.999 + 1e-6 * (out[0].sum(-1) + out[4].sum(-1))
+
+    bench("bounce_shade dispatch (fused)", bshade)
+
+    def emit_hit(c, i):
+        ray = Ray.make(o, unit_vec(i, c, 0))
+        si = scene.ray_intersect(ray)
+        hit = em_mod.eval_hit(scene.emitters, si)
+        hp = em_mod.pdf_hit_direction(
+            scene.emitters, scene.geometry, si, ray.o
+        )
+        bg = em_mod.eval_background(scene.emitters, ray.d)
+        bp = em_mod.pdf_miss_direction(scene.emitters, ray.d)
+        return c * 0.999 + 1e-6 * (hit.sum(-1) + hp + bg.sum(-1) + bp)
+
+    bench("emitter-hit block (incl intersect)", emit_hit)
+
     def full(depth):
         def step(c, i):
             L, _ = trace_paths(
@@ -180,7 +203,9 @@ def main():
         return step
 
     t1 = bench("full bounce (trace_paths depth=1)", full(1))
+    t2 = bench("full path (trace_paths depth=2)", full(2))
     t4 = bench("full path (trace_paths depth=4)", full(4))
+    RESULTS["per_bounce_ms_d2"] = round((t2 - t1) * 1e3, 3)
     RESULTS["per_bounce_ms_d4"] = round((t4 - t1) / 3 * 1e3, 3)
     with open(OUT, "w") as fh:
         json.dump(RESULTS, fh, indent=1)

@@ -94,3 +94,53 @@ def test_dryrun_multichip():
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
     dryrun_multichip(4)
+
+
+def test_2level_mesh_render_matches_single(eight_devices):
+    """('dcn','ici') 2-level mesh (SURVEY.md §2.8): 2 virtual hosts x 4
+    chips; row slabs shard over the flattened axes, hosts outermost."""
+    scene = _scene(res=32, spp=4)
+    mesh = pmesh.make_mesh_2level(eight_devices, n_hosts=2)
+    assert mesh.axis_names == ("dcn", "ici")
+    img_s = np.asarray(pmesh.render_sharded_jit(scene, mesh, spp=4, seed=0))
+    img_1 = np.asarray(render_jit(scene, spp=4, seed=0))
+    assert np.allclose(img_s, img_1, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_grads_gaussian_matches_single(eight_devices):
+    """Sharded AD under a splat filter (round-2 verdict item 9): the
+    shard films psum inside the differentiated function, so gradients
+    match the single-device gaussian-film gradients."""
+    scene = _scene(res=16, spp=4)
+    scene.config.rfilter = "gaussian"
+    mesh = pmesh.make_mesh(eight_devices)
+    full = params_mod.traverse(scene)
+    params = {"bsdf.tabulated.table": full["bsdf.tabulated.table"]}
+    target = jnp.zeros((16, 16, 3))
+
+    loss_s, grads_s = pmesh.loss_and_grad_sharded_jit(
+        scene, params, target, mesh, 4, jnp.uint32(3)
+    )
+    loss_1, grads_1 = grad_render(scene, params, target, spp=4, seed=3)
+    assert abs(float(loss_s) - float(loss_1)) / float(loss_1) < 1e-4
+    g_s = np.asarray(grads_s["bsdf.tabulated.table"])
+    g_1 = np.asarray(grads_1["bsdf.tabulated.table"])
+    assert np.allclose(g_s, g_1, rtol=1e-3, atol=1e-7)
+
+
+def test_2level_grads_match_single(eight_devices):
+    scene = _scene(res=16, spp=4)
+    mesh = pmesh.make_mesh_2level(eight_devices, n_hosts=2)
+    full = params_mod.traverse(scene)
+    params = {"bsdf.tabulated.table": full["bsdf.tabulated.table"]}
+    target = jnp.zeros((16, 16, 3))
+    loss_s, grads_s = pmesh.loss_and_grad_sharded_jit(
+        scene, params, target, mesh, 4, jnp.uint32(3)
+    )
+    loss_1, grads_1 = grad_render(scene, params, target, spp=4, seed=3)
+    assert abs(float(loss_s) - float(loss_1)) / float(loss_1) < 1e-4
+    assert np.allclose(
+        np.asarray(grads_s["bsdf.tabulated.table"]),
+        np.asarray(grads_1["bsdf.tabulated.table"]),
+        rtol=1e-3, atol=1e-7,
+    )
