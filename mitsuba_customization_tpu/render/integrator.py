@@ -259,7 +259,8 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
 
         # ---- free flight through the current medium ----
         ms = medium_mod.sample_interaction(
-            media, mid, ray.o, ray.d, t_surf, med_seed, lane, med_base
+            media, mid, ray.o, ray.d, t_surf, med_seed, lane, med_base,
+            ad_mode=ad_mode,
         )
         thr = thr * jnp.where(active[..., None], sg(ms.weight) if not ad_mode
                               else ms.weight, 1.0)
@@ -347,14 +348,16 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
                 )
                 tr = medium_mod.transmittance(
                     media, mid, shadow_o, ds.d, tr_dist, med_seed, lane,
-                    med_base + jnp.uint32(2048),
+                    med_base + jnp.uint32(2048), ad_mode=ad_mode,
                 )
             else:
                 tr = jnp.ones_like(thr)
             n_rays = n_rays + jnp.sum(nee_ok.astype(jnp.uint32))
             w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_scat))
+            # shadow transmittance stays attached in ad_mode: its ratio-
+            # tracking factors carry the sigma_t gradient of occluded light
             contrib = (
-                thr * f_scat * sg(tr) * ds.radiance
+                thr * f_scat * (tr if ad_mode else sg(tr)) * ds.radiance
                 * sg(m.safe_div(w_nee, ds.pdf))[..., None]
             )
             L = L + jnp.where(

@@ -45,6 +45,31 @@ HETEROGENEOUS = 1
 # majorants).
 MAX_TRACKING_STEPS = 256
 
+# Static tracking-loop length for differentiable (ad_mode) renders:
+# lax.while_loop is not reverse-differentiable, so ad_mode runs the
+# tracking loops as a fixed-length masked lax.scan instead (the detached
+# sampling decisions are identical; only the unrolled bound differs).
+AD_TRACKING_STEPS = 48
+
+
+def _tracking_loop(cond, body, init, ad_mode):
+    """while_loop in primal renders, fixed-length masked scan in ad_mode.
+
+    body takes and returns the full state tuple whose first element is the
+    step counter; `cond` is ignored under ad_mode (the done-masking inside
+    body keeps converged lanes frozen).
+    """
+    if not ad_mode:
+        return jax.lax.while_loop(cond, body, init)
+
+    def scan_body(state, _):
+        return body(state), None
+
+    state, _ = jax.lax.scan(
+        scan_body, init, None, length=AD_TRACKING_STEPS
+    )
+    return state
+
 _U32 = jnp.uint32
 
 
@@ -192,7 +217,7 @@ class MediumSample(NamedTuple):
 
 
 def sample_interaction(table: MediumTable, mid, ray_o, ray_d, t_max,
-                       seed, lane, dim_base):
+                       seed, lane, dim_base, ad_mode=False):
     """Sample a free-flight distance for lanes inside a medium.
 
     Vacuum lanes (mid < 0) return is_medium=False, weight=1. The sampling
@@ -220,13 +245,19 @@ def sample_interaction(table: MediumTable, mid, ray_o, ray_d, t_max,
     sig_ch = jnp.where(
         ch == 0, sig[..., 0], jnp.where(ch == 1, sig[..., 1], sig[..., 2])
     )
-    t_hom = -jnp.log1p(-jnp.clip(u_t, 0.0, 1.0 - 1e-7)) / jnp.maximum(
-        sig_ch, 1e-20
+    # Detached-estimator discipline (prbvolpath, SURVEY.md §3.2): sampled
+    # distances and pdfs are stop-gradded; transmittance/extinction values
+    # in the numerator stay attached so sigma_t/albedo gradients flow.
+    sg = jax.lax.stop_gradient
+    t_hom = sg(
+        -jnp.log1p(-jnp.clip(u_t, 0.0, 1.0 - 1e-7)) / jnp.maximum(
+            sig_ch, 1e-20
+        )
     )
     scat_hom = t_hom < t_max
     tr_t = jnp.exp(-sig * jnp.minimum(t_hom, t_max)[..., None])
-    pdf_scat = jnp.mean(sig * tr_t, axis=-1)  # channel-avg density
-    pdf_pass = jnp.mean(tr_t, axis=-1)
+    pdf_scat = sg(jnp.mean(sig * tr_t, axis=-1))  # channel-avg density
+    pdf_pass = sg(jnp.mean(tr_t, axis=-1))
     w_hom = jnp.where(
         scat_hom[..., None],
         m.safe_div(tr_t * sig * alb, pdf_scat[..., None]),
@@ -234,7 +265,7 @@ def sample_interaction(table: MediumTable, mid, ray_o, ray_d, t_max,
     )
 
     # ---- heterogeneous: weighted delta tracking ----
-    maj = jnp.maximum(table.majorant[safe], 1e-20)
+    maj = sg(jnp.maximum(table.majorant[safe], 1e-20))
 
     def dt_body(state):
         step, t, w, done, scat = state
@@ -245,13 +276,14 @@ def sample_interaction(table: MediumTable, mid, ray_o, ray_d, t_max,
         p = ray_o + t_new[..., None] * ray_d
         sig_p = sig * _density(table, safe, p)[..., None]  # (..., 3)
         mean_sig = jnp.mean(sig_p, axis=-1)
-        p_real = jnp.clip(mean_sig / maj, 0.0, 1.0)
+        p_real = sg(jnp.clip(mean_sig / maj, 0.0, 1.0))
         real = u2 < p_real
-        # spectral weight corrections (weighted delta tracking)
-        w_real = m.safe_div(sig_p, mean_sig[..., None])
+        # spectral weight corrections (weighted delta tracking): attached
+        # extinction in the numerators, detached selection pdfs below
+        w_real = m.safe_div(sig_p, sg(mean_sig)[..., None])
         w_null = m.safe_div(
             maj[..., None] - sig_p,
-            (maj * (1.0 - p_real))[..., None],
+            sg(maj * (1.0 - p_real))[..., None],
         )
         upd = jnp.logical_not(done)
         t = jnp.where(upd, jnp.where(passed, t_max, t_new), t)
@@ -277,7 +309,9 @@ def sample_interaction(table: MediumTable, mid, ray_o, ray_d, t_max,
         jnp.logical_not(need_het),
         jnp.zeros(t_max.shape, bool),
     )
-    _, t_het, w_het, _, scat_het = jax.lax.while_loop(dt_cond, dt_body, init)
+    _, t_het, w_het, _, scat_het = _tracking_loop(
+        dt_cond, dt_body, init, ad_mode
+    )
     w_het = jnp.where(scat_het[..., None], w_het * alb, w_het)
 
     is_medium = in_medium & jnp.where(is_het, scat_het, scat_hom)
@@ -294,7 +328,7 @@ def sample_interaction(table: MediumTable, mid, ray_o, ray_d, t_max,
 
 
 def transmittance(table: MediumTable, mid, ray_o, ray_d, dist,
-                  seed, lane, dim_base):
+                  seed, lane, dim_base, ad_mode=False):
     """(..., 3) transmittance through medium `mid` over [0, dist].
 
     Vacuum lanes return 1. Homogeneous = exp(-sigma_t d); heterogeneous =
@@ -310,7 +344,9 @@ def transmittance(table: MediumTable, mid, ray_o, ray_d, dist,
 
     tr_hom = jnp.exp(-sig * d_fin[..., None])
 
-    maj = jnp.maximum(table.majorant[safe], 1e-20)
+    # ratio tracking: majorant (sampling density) detached, extinction in
+    # the (1 - sigma/maj) factors attached -> unbiased transmittance grads
+    maj = jax.lax.stop_gradient(jnp.maximum(table.majorant[safe], 1e-20))
 
     def rt_body(state):
         step, t, w, done = state
@@ -340,7 +376,7 @@ def transmittance(table: MediumTable, mid, ray_o, ray_d, dist,
         jnp.ones(d_fin.shape + (3,)),
         jnp.logical_not(need_het),
     )
-    _, _, tr_het, _ = jax.lax.while_loop(rt_cond, rt_body, init)
+    _, _, tr_het, _ = _tracking_loop(rt_cond, rt_body, init, ad_mode)
 
     tr = jnp.where(is_het[..., None], tr_het, tr_hom)
     return jnp.where(in_medium[..., None], tr, 1.0)
@@ -349,6 +385,21 @@ def transmittance(table: MediumTable, mid, ray_o, ray_d, dist,
 # --------------------------------------------------------------------------
 # Scene-build helper
 # --------------------------------------------------------------------------
+
+
+def recompute_majorant(table: MediumTable):
+    """Majorant of the channel-mean extinction, recomputed from the current
+    sigma_t / density leaves (jittable — runs inside the optimization step
+    after a params.update, like the MERL CDF rebuild)."""
+    mean_sig = jnp.mean(table.sigma_t, axis=-1)
+    if table.grid.size > 1 or table.grid_slot.size:
+        gmax = jnp.max(
+            table.grid.reshape(table.grid.shape[0], -1), axis=-1
+        )
+        slot_max = gmax[table.grid_slot] if table.grid_slot.size else 1.0
+        het = table.m_type == HETEROGENEOUS
+        return jnp.where(het, mean_sig * slot_max, mean_sig)
+    return mean_sig
 
 
 def build_table(media_rows, shape_interior, n_shapes):

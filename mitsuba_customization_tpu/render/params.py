@@ -39,6 +39,13 @@ def traverse(scene):
     params["emitter.radiance"] = scene.emitters.radiance
     if int(scene.emitters.env_index) >= 0:
         params["emitter.env_image"] = scene.emitters.env_image
+    if scene.media.n_media:
+        # medium leaves (prbvolpath-class inverse rendering — round-2
+        # verdict item 6): extinction, albedo, phase anisotropy, density
+        params["medium.sigma_t"] = scene.media.sigma_t
+        params["medium.albedo"] = scene.media.albedo
+        params["medium.phase_g"] = scene.media.phase_g
+        params["medium.density"] = scene.media.grid
     return params
 
 
@@ -82,4 +89,24 @@ def update(scene, params):
             env_image=img, env_dist=build_env_distribution(img)
         )
 
-    return dataclasses.replace(scene, bsdfs=bsdfs, emitters=emitters)
+    media = scene.media
+    med_changed = False
+    for key, field in (
+        ("medium.sigma_t", "sigma_t"),
+        ("medium.albedo", "albedo"),
+        ("medium.phase_g", "phase_g"),
+        ("medium.density", "grid"),
+    ):
+        if key in params:
+            media = media._replace(**{field: params[key]})
+            med_changed = True
+    if med_changed:
+        from mitsuba_customization_tpu.render.medium import (
+            recompute_majorant,
+        )
+
+        media = media._replace(majorant=recompute_majorant(media))
+
+    return dataclasses.replace(
+        scene, bsdfs=bsdfs, emitters=emitters, media=media
+    )

@@ -309,3 +309,132 @@ def test_volpath_no_media_matches_path():
     scene_v = mct.load_dict(d)
     img_vol = np.asarray(mct.render(scene_v, seed=2))
     np.testing.assert_allclose(img_vol, img_path, atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable media (round-2 verdict item 6 — prbvolpath capability)
+# ---------------------------------------------------------------------------
+
+
+def test_media_traverse_update_roundtrip():
+    import jax
+
+    from mitsuba_customization_tpu.render import params as params_mod
+
+    scene = _fog_scene([1.0, 1.0, 1.0], [0.5, 0.5, 0.5])
+    full = params_mod.traverse(scene)
+    for key in ("medium.sigma_t", "medium.albedo", "medium.phase_g",
+                "medium.density"):
+        assert key in full, key
+    new_sig = full["medium.sigma_t"] * 2.0
+    sc2 = params_mod.update(scene, {"medium.sigma_t": new_sig})
+    np.testing.assert_allclose(np.asarray(sc2.media.sigma_t),
+                               np.asarray(new_sig))
+    # majorant tracks the updated extinction (sampling stays valid)
+    np.testing.assert_allclose(
+        np.asarray(sc2.media.majorant),
+        np.asarray(jnp.mean(new_sig, axis=-1)),
+        rtol=1e-6,
+    )
+
+
+def test_sigma_t_grad_matches_analytic():
+    """Absorption-only fog: d(center)/d(sigma scale) = -sigma*chord*T*L.
+
+    The detached estimator's per-lane gradient is a Bernoulli-weighted
+    constant, so the MC gradient converges to the Beer-Lambert derivative.
+    """
+    import jax
+
+    from mitsuba_customization_tpu.render import params as params_mod
+    from mitsuba_customization_tpu.render.integrator import render
+
+    sigma, radius, rad = 1.0, 0.8, 2.0
+    spp = 256
+    scene = _fog_scene([sigma] * 3, [0.0] * 3, radius=radius,
+                       emitter_radiance=rad, depth=4)
+    full = params_mod.traverse(scene)
+
+    def center(scale):
+        sc = params_mod.update(
+            scene, {"medium.sigma_t": full["medium.sigma_t"] * scale}
+        )
+        img = render(sc, spp=spp, seed=7, ad_mode=True)
+        return img[11:13, 11:13].mean()
+
+    g = float(jax.grad(center)(1.0))
+    chord = 2.0 * radius
+    expect = -sigma * chord * np.exp(-sigma * chord) * rad
+    # MC stderr of the gradient estimator (Bernoulli * constant)
+    p = np.exp(-sigma * chord)
+    n = 4 * spp * 3
+    stderr = rad * sigma * chord * np.sqrt(p * (1 - p) / n)
+    assert abs(g - expect) < 4.0 * stderr + 0.02, (g, expect)
+
+
+def test_phase_and_albedo_grads_finite_nonzero():
+    import jax
+
+    from mitsuba_customization_tpu.render import params as params_mod
+    from mitsuba_customization_tpu.render.integrator import render
+
+    scene = _fog_scene([1.5] * 3, [0.7] * 3, depth=4)
+    scene = mct.load_dict  # noqa: F841  (keep import style uniform)
+    scene = _fog_scene([1.5] * 3, [0.7] * 3, depth=4)
+    full = params_mod.traverse(scene)
+
+    def loss(p):
+        sc = params_mod.update(scene, p)
+        img = render(sc, spp=32, seed=2, ad_mode=True)
+        return jnp.mean((img - 0.5) ** 2)
+
+    g = jax.grad(loss)(
+        {
+            "medium.albedo": full["medium.albedo"],
+            "medium.phase_g": full["medium.phase_g"],
+        }
+    )
+    ga = np.asarray(g["medium.albedo"])
+    gg = np.asarray(g["medium.phase_g"])
+    assert np.isfinite(ga).all() and np.abs(ga).max() > 0.0
+    assert np.isfinite(gg).all()
+
+
+@pytest.mark.slow
+def test_volume_recovery_sigma():
+    """Mini inverse rendering: recover a fog density (config-3-class for
+    media) — loss must drop substantially under Adam on medium.sigma_t."""
+    import jax
+    import optax
+
+    from mitsuba_customization_tpu.render import params as params_mod
+    from mitsuba_customization_tpu.render.integrator import render
+
+    target_scene = _fog_scene([1.6] * 3, [0.0] * 3, depth=4)
+    target = jnp.asarray(np.asarray(mct.render(target_scene, spp=96, seed=1)))
+
+    scene = _fog_scene([0.6] * 3, [0.0] * 3, depth=4)
+    full = params_mod.traverse(scene)
+    params = {"medium.sigma_t": full["medium.sigma_t"]}
+
+    @jax.jit
+    def step_loss(p, seed):
+        sc = params_mod.update(scene, p)
+        img = render(sc, spp=48, seed=seed, ad_mode=True)
+        return jnp.mean((img - target) ** 2)
+
+    opt = optax.adam(0.15)
+    state = opt.init(params)
+    loss0 = None
+    for it in range(8):
+        loss, grads = jax.value_and_grad(step_loss)(params, jnp.uint32(it))
+        if loss0 is None:
+            loss0 = float(loss)
+        upd, state = opt.update(grads, state)
+        params = jax.tree_util.tree_map(
+            lambda a, b: jnp.maximum(a + b, 0.01), params, upd
+        )
+    final = float(step_loss(params, jnp.uint32(99)))
+    assert final < 0.35 * loss0, (loss0, final)
+    sig = float(np.asarray(params["medium.sigma_t"]).mean())
+    assert 1.1 < sig < 2.2, sig
