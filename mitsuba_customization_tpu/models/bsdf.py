@@ -31,6 +31,7 @@ from mitsuba_customization_tpu.models import (
     diffuse,
     passthrough,
     plastic,
+    principled,
     roughconductor,
     roughdielectric,
     roughplastic,
@@ -54,6 +55,7 @@ ROUGHDIELECTRIC = 10  # Walter 2007 microfacet transmission
 THINDIELECTRIC = 11  # thin slab delta
 PASSTHROUGH = 12  # delta transparency (mask's transparent component)
 BLEND = 13  # two-child mixture (blendbsdf/mask) — resolved pre-dispatch
+PRINCIPLED = 14  # Disney principled, opaque lobes (mitsuba3 principled.cpp)
 
 KERNEL_NAMES = {
     DIFFUSE: "diffuse",
@@ -70,6 +72,7 @@ KERNEL_NAMES = {
     THINDIELECTRIC: "thindielectric",
     PASSTHROUGH: "passthrough",
     BLEND: "blend",
+    PRINCIPLED: "principled",
 }
 
 
@@ -110,6 +113,7 @@ _MODULES = {
     ROUGHDIELECTRIC: roughdielectric,
     THINDIELECTRIC: thindielectric,
     PASSTHROUGH: passthrough,
+    PRINCIPLED: principled,
 }
 
 # Kernels whose sample() is a Dirac delta (NEE skips them; no MIS weight).
@@ -315,7 +319,7 @@ def eval_pdf(table: BSDFTable, mat_id, wi, wo, uv=None):
 
 
 def bounce_shade(table: BSDFTable, mat_id, wi, wo_nee, sample2, sample1=None,
-                 uv=None, need_attached=False, has_nee=True):
+                 uv=None, need_attached=False, has_nee=True, active=None):
     """All BSDF work of one path-tracer bounce in one dispatch pass.
 
     Fuses {eval_pdf(wi, wo_nee), sample(wi, u), eval(wi, wo_sampled)} —
@@ -356,6 +360,11 @@ def bounce_shade(table: BSDFTable, mat_id, wi, wo_nee, sample2, sample1=None,
             continue
         mod = _MODULES[kid]
         mask = t == kid
+        if active is not None:
+            # dead lanes cost no sorted-kernel segments (their keys go to
+            # the sentinel tail); their outputs are garbage but every
+            # integrator consumer is gated on `active`
+            mask = mask & active
         slot_safe = jnp.where(mask, slot, 0)
         if getattr(mod, "NEEDS_SLOT", kid == TABULATED) and hasattr(
             mod, "bounce_shade"

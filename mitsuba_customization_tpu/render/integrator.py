@@ -144,6 +144,7 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
             bsdf_mod.bounce_shade(
                 scene.bsdfs, si.mat_id, si.wi, wo_local, u2, u_lobe,
                 uv=si.uv, need_attached=ad_mode, has_nee=has_emitters,
+                active=active,
             )
         )
 
@@ -315,6 +316,7 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
          f_attached) = bsdf_mod.bounce_shade(
             scene.bsdfs, si.mat_id, si.wi, wo_local, u2, u_lobe,
             uv=si.uv, need_attached=ad_mode, has_nee=has_emitters,
+            active=real_surf,
         )
 
         if has_emitters:

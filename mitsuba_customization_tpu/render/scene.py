@@ -32,6 +32,7 @@ from mitsuba_customization_tpu.models import merl as merl_mod
 from mitsuba_customization_tpu.models import measured_custom as custom_mod
 from mitsuba_customization_tpu.models import microfacet as mf
 from mitsuba_customization_tpu.models import plastic as plastic_mod
+from mitsuba_customization_tpu.models import principled as principled_mod
 from mitsuba_customization_tpu.models import roughconductor as rough_mod
 from mitsuba_customization_tpu.models import roughdielectric as roughdielectric_mod
 from mitsuba_customization_tpu.models import roughplastic as roughplastic_mod
@@ -346,7 +347,7 @@ _BSDF_TYPES = {
     "diffuse", "conductor", "roughconductor", "dielectric", "thindielectric",
     "roughdielectric", "merl", "measured_custom", "twosided", "null",
     "plastic", "roughplastic", "blendbsdf", "mask", "passthrough",
-    "normalmap", "bumpmap",
+    "normalmap", "bumpmap", "principled",
 }
 
 
@@ -560,6 +561,25 @@ def load_dict(d: dict) -> Scene:
                 specular_reflectance=rgb("specular_reflectance", [1, 1, 1]),
                 eta=np.float32(int_ior / ext_ior),
                 alpha=np.float32(bd.get("alpha", 0.1)),
+            )
+        elif btype == "principled":
+            kid = bsdf_mod.PRINCIPLED
+
+            def sc(key, default):
+                return np.float32(bd.get(key, default))
+
+            params = principled_mod.PrincipledParams(
+                base_color=rgb("base_color", [0.5, 0.5, 0.5]),
+                roughness=sc("roughness", 0.5),
+                anisotropic=sc("anisotropic", 0.0),
+                metallic=sc("metallic", 0.0),
+                spec_tint=sc("spec_tint", 0.0),
+                specular=sc("specular", 0.5),
+                sheen=sc("sheen", 0.0),
+                sheen_tint=sc("sheen_tint", 0.0),
+                clearcoat=sc("clearcoat", 0.0),
+                clearcoat_gloss=sc("clearcoat_gloss", 0.0),
+                flatness=sc("flatness", 0.0),
             )
         elif btype == "dielectric":
             kid = bsdf_mod.DIELECTRIC
