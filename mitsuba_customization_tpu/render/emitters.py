@@ -80,7 +80,11 @@ def prim_surface_area(geom: geo.Geometry, prim):
     g = jax.tree_util.tree_map(lambda a: a[prim], geom)
     tri_area = 0.5 * m.norm(jnp.cross(g.e1, g.e2))
     sph_area = 4.0 * jnp.pi * g.e1[..., 0] ** 2
-    return jnp.where(g.prim_type == geo.TRI, tri_area, sph_area)
+    cyl_area = 2.0 * jnp.pi * g.e2[..., 0] * m.norm(g.e1)
+    return jnp.where(
+        g.prim_type == geo.TRI, tri_area,
+        jnp.where(g.prim_type == geo.CYLINDER, cyl_area, sph_area),
+    )
 
 
 def _sample_position_on_prim(geom: geo.Geometry, prim, sample2):
@@ -94,9 +98,25 @@ def _sample_position_on_prim(geom: geo.Geometry, prim, sample2):
     d = square_to_uniform_sphere(sample2)
     r = g.e1[..., 0:1]
     p_sph = g.p0 + r * d
+    # Cylinder: uniform on the lateral surface.
+    from mitsuba_customization_tpu.core.frame import Frame
+
+    cyl_len = jnp.maximum(m.norm(g.e1), 1e-12)
+    cyl_a = g.e1 / cyl_len[..., None]
+    fr = Frame.from_normal(cyl_a)
+    phi = 2.0 * jnp.pi * sample2[..., 0]
+    n_cyl = (
+        jnp.cos(phi)[..., None] * fr.s + jnp.sin(phi)[..., None] * fr.t
+    )
+    p_cyl = (
+        g.p0
+        + (sample2[..., 1] * cyl_len)[..., None] * cyl_a
+        + g.e2[..., 0:1] * n_cyl
+    )
     is_tri = (g.prim_type == geo.TRI)[..., None]
-    p = jnp.where(is_tri, p_tri, p_sph)
-    n = jnp.where(is_tri, n_tri, d)
+    is_cyl = (g.prim_type == geo.CYLINDER)[..., None]
+    p = jnp.where(is_tri, p_tri, jnp.where(is_cyl, p_cyl, p_sph))
+    n = jnp.where(is_tri, n_tri, jnp.where(is_cyl, n_cyl, d))
     return p, n
 
 

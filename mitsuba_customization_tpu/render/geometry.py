@@ -1,4 +1,5 @@
-"""Unified primitive soup (triangles + spheres) and ray intersection.
+"""Unified primitive soup (triangles + spheres + cylinders) and ray
+intersection.
 
 TPU-native counterpart of mitsuba3 src/render/{shape,mesh}.cpp and the
 sphere/obj/ply/rectangle/cube shape plugins (SURVEY.md §2.3/§2.4). All
@@ -26,6 +27,8 @@ from mitsuba_customization_tpu.render.records import Ray, SurfaceInteraction
 
 TRI = 0
 SPHERE = 1
+CYLINDER = 2  # p0 = base point, e1 = axis vector (length = height),
+              # e2[..., 0] = radius; open-ended (mitsuba3 cylinder.cpp)
 
 _EPS = 1e-7
 
@@ -77,6 +80,40 @@ def ray_triangle(o, d, p0, e1, e2):
     return jnp.where(hit, t, jnp.inf), u, v, hit
 
 
+def ray_cylinder(o, d, p0, axis, radius):
+    """Open cylinder around the segment p0..p0+axis. Returns (t, hit).
+
+    Mitsuba3 cylinder.cpp semantics: lateral surface only (no caps),
+    nearest of the two quadratic roots whose axial coordinate lies on the
+    segment.
+    """
+    length = jnp.maximum(m.norm(axis), 1e-12)
+    a = axis / length[..., None]
+    oc = o - p0
+    d_par = m.dot(d, a)
+    oc_par = m.dot(oc, a)
+    dd = d - d_par[..., None] * a
+    oo = oc - oc_par[..., None] * a
+    qa = m.dot(dd, dd)
+    qb = m.dot(dd, oo)
+    qc = m.dot(oo, oo) - radius * radius
+    disc = qb * qb - qa * qc
+    sq = m.safe_sqrt(disc)
+    inv_a = m.safe_div(1.0, qa)
+    t0 = (-qb - sq) * inv_a
+    t1 = (-qb + sq) * inv_a
+
+    def on_seg(t):
+        s = oc_par + t * d_par
+        return (t > _EPS) & (s >= 0.0) & (s <= length)
+
+    ok0 = on_seg(t0)
+    ok1 = on_seg(t1)
+    t = jnp.where(ok0, t0, jnp.where(ok1, t1, jnp.inf))
+    hit = (disc >= 0.0) & (qa > 1e-12) & (ok0 | ok1)
+    return jnp.where(hit, t, jnp.inf), hit
+
+
 def ray_sphere(o, d, center, radius):
     """Stable quadratic sphere intersection. Returns (t, hit); t=inf on miss."""
     oc = o - center
@@ -102,8 +139,10 @@ def _intersect_prims(geom: Geometry, o, d, prim_idx=None):
     )
     t_tri, u, v, _ = ray_triangle(o, d, g.p0, g.e1, g.e2)
     t_sph, _ = ray_sphere(o, d, g.p0, g.e1[..., 0])
+    t_cyl, _ = ray_cylinder(o, d, g.p0, g.e1, g.e2[..., 0])
     is_tri = g.prim_type == TRI
-    t = jnp.where(is_tri, t_tri, t_sph)
+    is_cyl = g.prim_type == CYLINDER
+    t = jnp.where(is_tri, t_tri, jnp.where(is_cyl, t_cyl, t_sph))
     return t, jnp.where(is_tri, u, 0.0), jnp.where(is_tri, v, 0.0)
 
 
@@ -156,11 +195,21 @@ def compute_interaction(geom: Geometry, ray: Ray, t, prim, u, v):
     p = ray.o + ray.d * jnp.where(valid, t, 0.0)[..., None]
 
     is_tri = g.prim_type == TRI
-    # Triangle geometric normal from the edges; sphere from center.
+    is_cyl = g.prim_type == CYLINDER
+    # Triangle geometric normal from the edges; sphere from center;
+    # cylinder radial about its axis.
     n_tri = m.normalize(jnp.cross(g.e1, g.e2))
     radius = jnp.maximum(g.e1[..., 0:1], 1e-12)
     n_sph = (p - g.p0) / radius
-    n_geo = jnp.where(is_tri[..., None], n_tri, n_sph)
+    cyl_len = jnp.maximum(m.norm(g.e1), 1e-12)
+    cyl_a = g.e1 / cyl_len[..., None]
+    pl = p - g.p0
+    cyl_s = m.dot(pl, cyl_a)
+    n_cyl = m.normalize(pl - cyl_s[..., None] * cyl_a)
+    n_geo = jnp.where(
+        is_tri[..., None], n_tri,
+        jnp.where(is_cyl[..., None], n_cyl, n_sph),
+    )
 
     # Shading normal: interpolated vertex normals (falls back to geometric
     # when a mesh carries none — scene build stores n_geo in vn*).
@@ -169,7 +218,7 @@ def compute_interaction(geom: Geometry, ray: Ray, t, prim, u, v):
         jnp.where(
             is_tri[..., None],
             w * g.vn0 + u[..., None] * g.vn1 + v[..., None] * g.vn2,
-            n_sph,
+            jnp.where(is_cyl[..., None], n_cyl, n_sph),
         )
     )
     # Flip the *shading* frame to the side the ray arrived from (two-sided
@@ -183,7 +232,17 @@ def compute_interaction(geom: Geometry, ray: Ray, t, prim, u, v):
     uv_sph = jnp.stack(
         [phi / (2.0 * jnp.pi) + 0.5, theta / jnp.pi], axis=-1
     )
-    uv = jnp.where(is_tri[..., None], uv_tri, uv_sph)
+    cyl_frame = Frame.from_normal(cyl_a)
+    phi_cyl = jnp.arctan2(
+        m.dot(pl, cyl_frame.s), m.dot(pl, cyl_frame.t)
+    )
+    uv_cyl = jnp.stack(
+        [phi_cyl / (2.0 * jnp.pi) + 0.5, cyl_s / cyl_len], axis=-1
+    )
+    uv = jnp.where(
+        is_tri[..., None], uv_tri,
+        jnp.where(is_cyl[..., None], uv_cyl, uv_sph),
+    )
 
     frame = Frame.from_normal(n_sh)
     wi_local = frame.to_local(-ray.d)
@@ -214,6 +273,7 @@ def spawn_ray(si: SurfaceInteraction, d_world):
 def aabbs(geom: Geometry):
     """Per-primitive AABBs (numpy-friendly; used by the BVH builder)."""
     is_tri = geom.prim_type == TRI
+    is_cyl = geom.prim_type == CYLINDER
     p1 = geom.p0 + geom.e1
     p2 = geom.p0 + geom.e2
     tri_min = jnp.minimum(geom.p0, jnp.minimum(p1, p2))
@@ -221,7 +281,16 @@ def aabbs(geom: Geometry):
     r = geom.e1[..., 0:1]
     sph_min = geom.p0 - r
     sph_max = geom.p0 + r
-    bb_min = jnp.where(is_tri[..., None], tri_min, sph_min)
-    bb_max = jnp.where(is_tri[..., None], tri_max, sph_max)
+    rc = geom.e2[..., 0:1]
+    cyl_min = jnp.minimum(geom.p0, p1) - rc
+    cyl_max = jnp.maximum(geom.p0, p1) + rc
+    bb_min = jnp.where(
+        is_tri[..., None], tri_min,
+        jnp.where(is_cyl[..., None], cyl_min, sph_min),
+    )
+    bb_max = jnp.where(
+        is_tri[..., None], tri_max,
+        jnp.where(is_cyl[..., None], cyl_max, sph_max),
+    )
     return bb_min, bb_max
 

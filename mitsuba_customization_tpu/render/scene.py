@@ -262,6 +262,26 @@ class _GeomBuilder:
         self.rows["shape_id"].append(np.full(cnt, shape_id, np.int32))
         self.count += cnt
 
+    def add_cylinder(self, p0, p1, radius, mat_id, emitter_id, shape_id):
+        z3 = np.zeros(3, np.float32)
+        z2 = np.zeros(2, np.float32)
+        p0 = np.asarray(p0, np.float32)
+        axis = np.asarray(p1, np.float32) - p0
+        self.rows["prim_type"].append(np.asarray([geo.CYLINDER], np.int32))
+        self.rows["p0"].append(p0[None])
+        self.rows["e1"].append(axis[None])
+        self.rows["e2"].append(
+            np.asarray([[radius, 0.0, 0.0]], np.float32)
+        )
+        for k in ("vn0", "vn1", "vn2"):
+            self.rows[k].append(z3[None])
+        for k in ("uv0", "uv1", "uv2"):
+            self.rows[k].append(z2[None])
+        self.rows["mat_id"].append(np.asarray([mat_id], np.int32))
+        self.rows["emitter_id"].append(np.asarray([emitter_id], np.int32))
+        self.rows["shape_id"].append(np.asarray([shape_id], np.int32))
+        self.count += 1
+
     def _push(self, ptype, p0, e1, vn0, vn1, vn2, n_unused, uv0, uv1, uv2,
               mat_id, emitter_id, shape_id):
         self.rows["prim_type"].append(np.asarray([ptype], np.int32))
@@ -335,7 +355,7 @@ def _unit_disk(segments=32):
 # --------------------------------------------------------------------------
 
 _SHAPE_TYPES = {"sphere", "obj", "ply", "serialized", "mesh", "rectangle",
-                "cube", "disk"}
+                "cube", "disk", "cylinder", "instance"}
 _EMITTER_TYPES = {"constant", "envmap", "point", "spot", "directional"}
 _MEDIUM_TYPES = {"homogeneous", "heterogeneous"}
 _PHASE_TYPES = {
@@ -711,6 +731,94 @@ def load_dict(d: dict) -> Scene:
     shape_count = 0
     emissive_prim_ranges = []  # (emitter_id, prim_start, prim_end)
 
+    shapegroups: dict[str, dict] = {}
+
+    def add_shape(val, extra_to_w=None):
+        """Compile one shape dict into primitives (optionally pre-
+        transformed by an instance's to_world)."""
+        nonlocal shape_count
+        t = val.get("type")
+        bsdf_spec = val.get("bsdf", {"type": "diffuse"})
+        mat_id = compile_bsdf(bsdf_spec)
+        emitter_id = -1
+        if "emitter" in val:
+            espec = val["emitter"]
+            if espec.get("type") != "area":
+                raise ValueError("shape emitters must have type='area'")
+            emitter_id = add_emitter(
+                em_mod.AREA,
+                radiance=resolve_spectrum(espec.get("radiance", [1, 1, 1])),
+            )
+        prim_start = gb.count
+        to_w = _as_transform(val.get("to_world"))
+        if extra_to_w is not None:
+            to_w = np.asarray(extra_to_w, np.float64) @ to_w
+        if t == "sphere":
+            center = _apply_transform(
+                to_w, np.asarray(val.get("center", [0, 0, 0]), np.float64)
+            )
+            scale = np.cbrt(abs(np.linalg.det(to_w[:3, :3])))
+            gb.add_sphere(
+                center,
+                float(val.get("radius", 1.0)) * scale,
+                mat_id,
+                emitter_id,
+                shape_count,
+            )
+        elif t == "cylinder":
+            p0 = _apply_transform(
+                to_w, np.asarray(val.get("p0", [0, 0, 0]), np.float64)
+            )
+            p1 = _apply_transform(
+                to_w, np.asarray(val.get("p1", [0, 0, 1]), np.float64)
+            )
+            # radius scales with the average cross-axis stretch
+            scale = np.cbrt(abs(np.linalg.det(to_w[:3, :3])))
+            gb.add_cylinder(
+                p0, p1, float(val.get("radius", 1.0)) * scale,
+                mat_id, emitter_id, shape_count,
+            )
+        else:
+            if t == "obj":
+                from mitsuba_customization_tpu.utils.obj import read_obj
+
+                v, f, n, uv = read_obj(val["filename"])
+            elif t == "ply":
+                from mitsuba_customization_tpu.utils.ply import read_ply
+
+                v, f, n, uv = read_ply(val["filename"])
+            elif t == "mesh":
+                v = np.asarray(val["vertices"], np.float32)
+                f = np.asarray(val["faces"], np.int32)
+                n = val.get("normals")
+                uv = val.get("uvs")
+            elif t == "rectangle":
+                v, f, uv = _unit_rectangle()
+                n = None
+            elif t == "cube":
+                v, f = _unit_cube()
+                n, uv = None, None
+            elif t == "disk":
+                v, f = _unit_disk()
+                n, uv = None, None
+            else:
+                raise ValueError(f"unsupported shape '{t}'")
+            v = _apply_transform(to_w, v.astype(np.float64)).astype(
+                np.float32
+            )
+            if n is not None:
+                n = _apply_normal_transform(to_w, n)
+            if val.get("face_normals", False):
+                n = None
+            gb.add_mesh(v, f, n, uv, mat_id, emitter_id, shape_count)
+        if emitter_id >= 0:
+            emissive_prim_ranges.append((emitter_id, prim_start, gb.count))
+        # interior participating medium (mitsuba3 <medium name="interior">)
+        shape_interior.append(
+            compile_medium(val["interior"]) if "interior" in val else -1
+        )
+        shape_count += 1
+
     # Pass 1: named top-level BSDFs (so shapes can reference them).
     for key, val in d.items():
         if key == "type" or not isinstance(val, dict):
@@ -797,76 +905,30 @@ def load_dict(d: dict) -> Scene:
                     beam=float(val.get("beam_width", 15.0)),
                 )
             continue
+        if t == "shapegroup":
+            # collected only; instantiated through 'instance' references
+            # (mitsuba3 src/shapes/shapegroup.cpp). Children flatten into
+            # the global primitive soup per instance, so all instances
+            # share the scene's single BVH.
+            shapegroups[key] = val
+            continue
         if t in _SHAPE_TYPES:
-            # material
-            bsdf_spec = val.get("bsdf", {"type": "diffuse"})
-            mat_id = compile_bsdf(bsdf_spec)
-            # area emitter attached?
-            emitter_id = -1
-            if "emitter" in val:
-                espec = val["emitter"]
-                if espec.get("type") != "area":
-                    raise ValueError("shape emitters must have type='area'")
-                emitter_id = add_emitter(
-                    em_mod.AREA,
-                    radiance=resolve_spectrum(
-                        espec.get("radiance", [1, 1, 1])
-                    ),
-                )
-            prim_start = gb.count
-            to_w = _as_transform(val.get("to_world"))
-            if t == "sphere":
-                center = _apply_transform(
-                    to_w, np.asarray(val.get("center", [0, 0, 0]), np.float64)
-                )
-                scale = np.cbrt(abs(np.linalg.det(to_w[:3, :3])))
-                gb.add_sphere(
-                    center,
-                    float(val.get("radius", 1.0)) * scale,
-                    mat_id,
-                    emitter_id,
-                    shape_count,
-                )
-            else:
-                if t == "obj":
-                    from mitsuba_customization_tpu.utils.obj import read_obj
-
-                    v, f, n, uv = read_obj(val["filename"])
-                elif t == "ply":
-                    from mitsuba_customization_tpu.utils.ply import read_ply
-
-                    v, f, n, uv = read_ply(val["filename"])
-                elif t == "mesh":
-                    v = np.asarray(val["vertices"], np.float32)
-                    f = np.asarray(val["faces"], np.int32)
-                    n = val.get("normals")
-                    uv = val.get("uvs")
-                elif t == "rectangle":
-                    v, f, uv = _unit_rectangle()
-                    n = None
-                elif t == "cube":
-                    v, f = _unit_cube()
-                    n, uv = None, None
-                elif t == "disk":
-                    v, f = _unit_disk()
-                    n, uv = None, None
-                else:
-                    raise ValueError(f"unsupported shape '{t}'")
-                v = _apply_transform(to_w, v.astype(np.float64)).astype(
-                    np.float32
-                )
-                if n is not None:
-                    n = _apply_normal_transform(to_w, n)
-                if val.get("face_normals", False):
-                    n = None
-                gb.add_mesh(v, f, n, uv, mat_id, emitter_id, shape_count)
-            if emitter_id >= 0:
-                emissive_prim_ranges.append((emitter_id, prim_start, gb.count))
-            # interior participating medium (mitsuba3 <medium name="interior">)
-            shape_interior.append(
-                compile_medium(val["interior"]) if "interior" in val else -1
-            )
-            shape_count += 1
+            if t == "instance":
+                gref = val.get("shapegroup", val.get("ref"))
+                if isinstance(gref, dict):
+                    gref = gref.get("id")
+                if gref not in shapegroups:
+                    raise ValueError(
+                        f"instance '{key}' references unknown shapegroup "
+                        f"'{gref}'"
+                    )
+                inst_w = _as_transform(val.get("to_world"))
+                for ckey, cval in shapegroups[gref].items():
+                    if ckey == "type" or not isinstance(cval, dict):
+                        continue
+                    add_shape(cval, extra_to_w=inst_w)
+                continue
+            add_shape(val)
             continue
         raise ValueError(f"unrecognized scene entry '{key}' (type={t})")
 

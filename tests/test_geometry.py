@@ -138,3 +138,138 @@ def test_bvh_single_prim():
     ray = Ray.make(jnp.zeros((4, 3)) , jnp.broadcast_to(jnp.asarray([0.0, 0, 1.0]), (4, 3)))
     t, prim, _, _ = bvh_mod.intersect(tree, g, ray)
     assert np.allclose(np.asarray(t), 2.0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Cylinder + instancing (round-2 verdict item 8)
+# ---------------------------------------------------------------------------
+
+
+def test_ray_cylinder_axis_cases():
+    from mitsuba_customization_tpu.render.geometry import ray_cylinder
+
+    p0 = jnp.asarray([0.0, 0.0, 0.0])
+    axis = jnp.asarray([0.0, 0.0, 2.0])
+    # perpendicular hit at the midpoint
+    o = jnp.asarray([3.0, 0.0, 1.0])
+    d = jnp.asarray([-1.0, 0.0, 0.0])
+    t, hit = ray_cylinder(o, d, p0, axis, 0.5)
+    assert bool(hit) and abs(float(t) - 2.5) < 1e-5
+    # beyond the segment end: no caps -> miss
+    o2 = jnp.asarray([3.0, 0.0, 5.0])
+    t2, hit2 = ray_cylinder(o2, d, p0, axis, 0.5)
+    assert not bool(hit2)
+    # ray parallel to axis outside the tube -> miss
+    o3 = jnp.asarray([1.0, 0.0, -5.0])
+    d3 = jnp.asarray([0.0, 0.0, 1.0])
+    t3, hit3 = ray_cylinder(o3, d3, p0, axis, 0.5)
+    assert not bool(hit3)
+    # from inside: exits through the wall
+    o4 = jnp.asarray([0.0, 0.0, 1.0])
+    t4, hit4 = ray_cylinder(o4, jnp.asarray([1.0, 0.0, 0.0]), p0, axis, 0.5)
+    assert bool(hit4) and abs(float(t4) - 0.5) < 1e-5
+
+
+def test_cylinder_scene_render():
+    import mitsuba_customization_tpu as mct
+
+    scene = mct.load_dict(
+        {
+            "type": "scene",
+            "integrator": {"type": "aov_normals"},
+            "sensor": {
+                "type": "perspective",
+                "fov": 40,
+                "to_world": {
+                    "look_at": {
+                        "origin": [0, 0, -4], "target": [0, 0, 0],
+                        "up": [0, 1, 0],
+                    }
+                },
+                "film": {"width": 32, "height": 32},
+                "sampler": {"type": "independent", "sample_count": 1},
+            },
+            "rod": {
+                "type": "cylinder",
+                "p0": [0, -1, 0],
+                "p1": [0, 1, 0],
+                "radius": 0.4,
+                "bsdf": {"type": "diffuse"},
+            },
+            "light": {"type": "constant", "radiance": [1.0, 1.0, 1.0]},
+        }
+    )
+    img = np.asarray(mct.render(scene, spp=1, seed=0))
+    # the rod covers the center column; normals point back at the camera
+    # (-z world) there => aov encodes ~(0.5, 0.5, 0)
+    center = img[16, 16]
+    assert center[2] < 0.2 and abs(center[0] - 0.5) < 0.2
+    # background stays black
+    assert img[2, 2].sum() == 0.0
+
+
+def test_instance_matches_manual_copies():
+    import mitsuba_customization_tpu as mct
+
+    base = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 3},
+        "sensor": {
+            "type": "perspective",
+            "fov": 45,
+            "to_world": {
+                "look_at": {
+                    "origin": [0, 1, -5], "target": [0, 0, 0],
+                    "up": [0, 1, 0],
+                }
+            },
+            "film": {"width": 24, "height": 24},
+            "sampler": {"type": "independent", "sample_count": 8},
+        },
+        "light": {"type": "constant", "radiance": [1.0, 1.0, 1.0]},
+    }
+    pair = {
+        "ball": {
+            "type": "sphere", "radius": 0.5,
+            "bsdf": {"type": "diffuse", "reflectance": [0.8, 0.2, 0.2]},
+        },
+        "box": {
+            "type": "cube",
+            "to_world": {"scale": 0.3, "translate": [0, 0.9, 0]},
+            "bsdf": {"type": "diffuse", "reflectance": [0.2, 0.8, 0.2]},
+        },
+    }
+    inst = dict(base)
+    inst["grp"] = {"type": "shapegroup", **pair}
+    inst["i0"] = {
+        "type": "instance", "shapegroup": "grp",
+        "to_world": {"translate": [-1.2, 0, 0]},
+    }
+    inst["i1"] = {
+        "type": "instance", "shapegroup": "grp",
+        "to_world": {"translate": [1.2, 0, 0], "rotate": {
+            "axis": [0, 1, 0], "angle": 45}},
+    }
+
+    manual = dict(base)
+    import copy
+
+    from mitsuba_customization_tpu.render.scene import _as_transform
+
+    for name, shift, rot in (
+        ("a", [-1.2, 0, 0], None),
+        ("b", [1.2, 0, 0], {"axis": [0, 1, 0], "angle": 45}),
+    ):
+        outer = {"translate": shift}
+        if rot is not None:
+            outer = {"rotate": rot, "translate": shift}
+        outer_m = _as_transform(outer).astype(np.float64)
+        for sname, sval in pair.items():
+            sv = copy.deepcopy(sval)
+            inner_m = _as_transform(sv.get("to_world")).astype(np.float64)
+            sv["to_world"] = (outer_m @ inner_m).tolist()
+            manual[f"{name}_{sname}"] = sv
+
+    img_i = np.asarray(mct.render(mct.load_dict(inst), spp=8, seed=0))
+    img_m = np.asarray(mct.render(mct.load_dict(manual), spp=8, seed=0))
+    np.testing.assert_allclose(img_i, img_m, rtol=1e-4, atol=1e-5)
