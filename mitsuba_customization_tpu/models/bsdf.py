@@ -25,6 +25,7 @@ from typing import Any, Dict, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from mitsuba_customization_tpu.ops.onehot import take_rows
 from mitsuba_customization_tpu.models import (
     conductor,
     dielectric,
@@ -154,7 +155,7 @@ class BSDFTable(NamedTuple):
         """Per-lane: does this material sample a delta lobe?
 
         Blends count as delta only if both children are delta."""
-        t = self.mat_type[mat_id]
+        t = take_rows(self.mat_type, mat_id)
 
         def kernel_delta(types):
             out = jnp.zeros(types.shape, dtype=bool)
@@ -172,7 +173,7 @@ class BSDFTable(NamedTuple):
 
     def resolve_children(self, mat_id):
         """(child_a, child_b, w, is_blend): identity for non-blends."""
-        t = self.mat_type[mat_id]
+        t = take_rows(self.mat_type, mat_id)
         is_b = t == BLEND
         a = jnp.where(is_b, self.blend_a[mat_id], mat_id)
         b = jnp.where(is_b, self.blend_b[mat_id], mat_id)
@@ -181,15 +182,20 @@ class BSDFTable(NamedTuple):
 
 
 def _gather_params(stack, slot):
-    """Gather per-lane parameters from a stacked pytree (small params only)."""
-    return jax.tree_util.tree_map(lambda a: a[slot], stack)
+    """Gather per-lane parameters from a stacked pytree (small params only).
+
+    One fused MXU one-hot fetch (ops/onehot.gather_tree) — per-lane
+    gathers are the slow op class on TPU even for tiny tables."""
+    from mitsuba_customization_tpu.ops.onehot import gather_tree
+
+    return gather_tree(stack, slot)
 
 
 def _dispatch(table: BSDFTable, mat_id, fn_name, wi, *args, uv=None,
               **kwargs):
     """Masked run-all dispatch over the kernels present in the scene."""
-    t = table.mat_type[mat_id]
-    slot = table.mat_slot[mat_id]
+    t = take_rows(table.mat_type, mat_id)
+    slot = take_rows(table.mat_slot, mat_id)
     out = None
     for kid in table.present_kernels:
         if kid in (NULL, BLEND):
@@ -351,8 +357,8 @@ def bounce_shade(table: BSDFTable, mat_id, wi, wo_nee, sample2, sample1=None,
         )
         return f_nee, p_nee, wo, p_s, weight, is_delta, f_att
 
-    t = table.mat_type[mat_id]
-    slot = table.mat_slot[mat_id]
+    t = take_rows(table.mat_type, mat_id)
+    slot = take_rows(table.mat_slot, mat_id)
     shape = wi.shape[:-1]
     out = None
     for kid in table.present_kernels:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Above this one-hot width the matmul cost (R * C * 2 flops/lane) stops
 # winning against XLA's serial gather (measured crossover ~4-5k rows for
@@ -39,6 +40,59 @@ def fetch_rows(table, idx, dtype=jnp.float32):
         (((oh.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+
+def take_rows(arr, idx):
+    """Per-lane row gather from a SMALL leading-axis table, MXU-fast.
+
+    arr (P, ...) with small P -> (..., *arr.shape[1:]) rows at idx. XLA's
+    native per-lane gather runs ~3.8 ms per 2M lanes even from a 5-row
+    table (round-3 on-chip trace, geometry interaction fetch); the one-hot
+    contraction is ~20x faster. Exact for f32 and for ints < 2^24 (the
+    one-hot sum selects a single row). Falls back to the native gather
+    for wide tables.
+    """
+    p = arr.shape[0]
+    if p > MAX_ONEHOT_WIDTH:
+        return arr[idx]
+    flat = arr.reshape(p, -1)
+    out = fetch_rows(flat.astype(jnp.float32), idx)
+    out = out.reshape(idx.shape + arr.shape[1:])
+    if arr.dtype == jnp.float32:
+        return out
+    if arr.dtype == jnp.bool_:
+        return out > 0.5
+    return out.astype(arr.dtype)
+
+
+def gather_tree(tree, idx):
+    """take_rows over every leaf of a pytree with ONE fused contraction.
+
+    All leaves must share the leading axis P. Leaves are flattened to
+    (P, Ci) f32 blocks, concatenated, fetched with a single one-hot
+    matmul, and split back — one (lanes, P) one-hot instead of one per
+    leaf. Integer/bool leaves roundtrip exactly (values < 2^24).
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    p = leaves[0].shape[0]
+    if p > MAX_ONEHOT_WIDTH:
+        return jax.tree_util.tree_map(lambda a: a[idx], tree)
+    cols = [int(np.prod(a.shape[1:])) if a.ndim > 1 else 1 for a in leaves]
+    flat = jnp.concatenate(
+        [a.reshape(p, -1).astype(jnp.float32) for a in leaves], axis=-1
+    )
+    rows = fetch_rows(flat, idx)  # (..., sum C)
+    out = []
+    off = 0
+    for a, c in zip(leaves, cols):
+        piece = rows[..., off:off + c].reshape(idx.shape + a.shape[1:])
+        off += c
+        if a.dtype == jnp.bool_:
+            piece = piece > 0.5
+        elif a.dtype != jnp.float32:
+            piece = piece.astype(a.dtype)
+        out.append(piece)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def fetch_rows_3d(table, idx0, idx1, dtype=jnp.float32):

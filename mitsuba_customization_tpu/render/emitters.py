@@ -28,6 +28,7 @@ from mitsuba_customization_tpu.core.warp import (
     square_to_uniform_triangle,
 )
 from mitsuba_customization_tpu.render import geometry as geo
+from mitsuba_customization_tpu.ops.onehot import take_rows
 from mitsuba_customization_tpu.render.records import DirectionSample
 
 AREA = 0
@@ -77,7 +78,9 @@ class EmitterTable(NamedTuple):
 
 
 def prim_surface_area(geom: geo.Geometry, prim):
-    g = jax.tree_util.tree_map(lambda a: a[prim], geom)
+    from mitsuba_customization_tpu.ops.onehot import gather_tree
+
+    g = gather_tree(geom, prim)
     tri_area = 0.5 * m.norm(jnp.cross(g.e1, g.e2))
     sph_area = 4.0 * jnp.pi * g.e1[..., 0] ** 2
     cyl_area = 2.0 * jnp.pi * g.e2[..., 0] * m.norm(g.e1)
@@ -89,7 +92,9 @@ def prim_surface_area(geom: geo.Geometry, prim):
 
 def _sample_position_on_prim(geom: geo.Geometry, prim, sample2):
     """Uniform-area point + outward normal on a primitive."""
-    g = jax.tree_util.tree_map(lambda a: a[prim], geom)
+    from mitsuba_customization_tpu.ops.onehot import gather_tree
+
+    g = gather_tree(geom, prim)
     # Triangle: uniform barycentric.
     b = square_to_uniform_triangle(sample2)
     p_tri = g.p0 + b[..., 0:1] * g.e1 + b[..., 1:2] * g.e2
@@ -229,7 +234,7 @@ def sample_direction(
     pdf_sa = m.safe_div(p_area * dist2, cos_e)
     front = cos_e > 0.0
     rad = jnp.where(
-        front[..., None], table.radiance[k], 0.0
+        front[..., None], take_rows(table.radiance, k), 0.0
     )
     put(
         mask_area,
@@ -248,7 +253,7 @@ def sample_direction(
         d_c,
         jnp.full(dist.shape, jnp.inf),
         jnp.full(dist.shape, INV_FOUR_PI),
-        table.radiance[k],
+        take_rows(table.radiance, k),
         jnp.zeros_like(mask_const),
     )
 
@@ -258,7 +263,7 @@ def sample_direction(
     d_e = _env_dir_from_uv(uv_e, table.env_to_world)
     sin_t = jnp.sin(uv_e[..., 0] * jnp.pi)
     pdf_e = m.safe_div(p_sq, 2.0 * jnp.pi * jnp.pi * sin_t)
-    rad_e = env_radiance(table, d_e) * table.radiance[k]
+    rad_e = env_radiance(table, d_e) * take_rows(table.radiance, k)
     put(
         mask_env,
         d_e,
@@ -274,7 +279,7 @@ def sample_direction(
     pdist2 = m.squared_norm(to_p)
     pdist = jnp.sqrt(jnp.maximum(pdist2, 1e-12))
     d_p = to_p / pdist[..., None]
-    rad_p = table.radiance[k] / pdist2[..., None]
+    rad_p = take_rows(table.radiance, k) / pdist2[..., None]
     put(
         mask_point,
         d_p,
@@ -313,7 +318,7 @@ def sample_direction(
         jnp.broadcast_to(d_d, p_ref.shape),
         jnp.full(dist.shape, jnp.inf),
         jnp.ones_like(dist),
-        table.radiance[k],
+        take_rows(table.radiance, k),
         jnp.ones_like(mask_dir),
     )
 
@@ -376,5 +381,5 @@ def eval_hit(table: EmitterTable, si):
     # only area emitters emit from surfaces
     is_area = table.em_type[em] == AREA
     return jnp.where(
-        (valid & front & is_area)[..., None], table.radiance[em], 0.0
+        (valid & front & is_area)[..., None], take_rows(table.radiance, em), 0.0
     )

@@ -188,8 +188,14 @@ def occluded_brute(geom: Geometry, ray: Ray):
 def compute_interaction(geom: Geometry, ray: Ray, t, prim, u, v):
     """Build the SurfaceInteraction for nearest hits (compute_surface_
     interaction analogue — mitsuba3 PreliminaryIntersection3f)."""
+    from mitsuba_customization_tpu.ops.onehot import gather_tree
+
     safe = jnp.maximum(prim, 0)
-    g = jax.tree_util.tree_map(lambda a: a[safe], geom)
+    # one fused MXU one-hot fetch for all 13 per-prim fields: XLA's native
+    # per-lane gather costs ~3.8 ms per 2M lanes PER FIELD even from a
+    # 5-row table (round-3 trace) — this was the largest non-sort cost of
+    # the whole bounce.
+    g = gather_tree(geom, safe)
     valid = prim >= 0
 
     p = ray.o + ray.d * jnp.where(valid, t, 0.0)[..., None]

@@ -23,6 +23,7 @@ from mitsuba_customization_tpu.core.sampler import make_sampler
 from mitsuba_customization_tpu.models import bsdf as bsdf_mod
 from mitsuba_customization_tpu.models import phase as phase_mod
 from mitsuba_customization_tpu.models.normalmap import apply_normal_maps
+from mitsuba_customization_tpu.ops.onehot import take_rows
 from mitsuba_customization_tpu.render import emitters as em_mod
 from mitsuba_customization_tpu.render import film as film_mod
 from mitsuba_customization_tpu.render import geometry as geo
@@ -52,6 +53,29 @@ def mis_weight(pdf_a, pdf_b):
     a2 = pdf_a * pdf_a
     w = m.safe_div(a2, a2 + pdf_b * pdf_b)
     return jnp.where(pdf_a > 0.0, w, 0.0)
+
+
+
+# Bounce-loop execution strategy. "unroll" runs the (static, small)
+# max_depth bounce bodies as straight-line XLA — the bounce index becomes a
+# Python constant, so per-bounce gating (NEE horizon, RR start) constant-
+# folds, XLA fuses across bounce boundaries, and no scan carry is
+# materialized. "scan" keeps one compiled body (smaller programs; used for
+# very deep paths). None = auto: unroll up to _UNROLL_MAX bounces.
+BOUNCE_LOOP = None
+_UNROLL_MAX = 16
+
+
+def _run_bounces(body, init, max_depth):
+    mode = BOUNCE_LOOP or ("unroll" if max_depth <= _UNROLL_MAX else "scan")
+    if mode == "unroll":
+        carry = init
+        ys = []
+        for b in range(max_depth):
+            carry, y = body(carry, jnp.asarray(b))
+            ys.append(y)
+        return carry, jnp.stack(ys)
+    return jax.lax.scan(body, init, jnp.arange(max_depth))
 
 
 def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
@@ -204,8 +228,8 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
         return (ray, thr, L, active, bsdf_pdf, is_delta), n_rays
 
     body = jax.checkpoint(bounce) if ad_mode else bounce
-    (ray, thr, L, active, _, _), rays_per_bounce = jax.lax.scan(
-        body, init, jnp.arange(max_depth)
+    (ray, thr, L, active, _, _), rays_per_bounce = _run_bounces(
+        body, init, max_depth
     )
     return L, {"rays_per_bounce": rays_per_bounce}
 
@@ -270,8 +294,11 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
         p_med = ray.o + ms.t[..., None] * ray.d
 
         mid_safe = jnp.maximum(mid, 0)
-        ph_type = media.phase_type[mid_safe] if media.n_media else mid_safe
-        ph_g = media.phase_g[mid_safe] if media.n_media else zero
+        ph_type = (
+            take_rows(media.phase_type, mid_safe) if media.n_media
+            else mid_safe
+        )
+        ph_g = take_rows(media.phase_g, mid_safe) if media.n_media else zero
         wi_world = -ray.d  # points back along the ray (phase convention)
 
         # ---- emitter hits / escaped rays (only surface-reaching lanes) ----
@@ -401,8 +428,8 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
         # medium switches at null boundaries: entering picks the shape's
         # interior medium, exiting returns to vacuum (docstring contract)
         entering = m.dot(ray.d, si.n) < 0.0
-        shape_of = scene.geometry.shape_id[jnp.maximum(si.prim, 0)]
-        interior = media.shape_interior[shape_of]
+        shape_of = take_rows(scene.geometry.shape_id, jnp.maximum(si.prim, 0))
+        interior = take_rows(media.shape_interior, shape_of)
         mid_after_null = jnp.where(entering, interior, -1)
         mid = jnp.where(null_surf, mid_after_null, mid)
 
@@ -431,8 +458,8 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
         return (ray, thr, L, active, prev_pdf, prev_delta, mid), n_rays
 
     body = jax.checkpoint(bounce) if ad_mode else bounce
-    (ray, thr, L, active, _, _, _), rays_per_bounce = jax.lax.scan(
-        body, init, jnp.arange(max_depth)
+    (ray, thr, L, active, _, _, _), rays_per_bounce = _run_bounces(
+        body, init, max_depth
     )
     return L, {"rays_per_bounce": rays_per_bounce}
 

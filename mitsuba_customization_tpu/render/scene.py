@@ -230,9 +230,37 @@ class _GeomBuilder:
             z3, z3, z3, z3, z2, z2, z2, mat_id, emitter_id, shape_id,
         )
 
-    def add_mesh(self, v, f, n, uv, mat_id, emitter_id, shape_id):
+    def add_mesh(self, v, f, n, uv, mat_id, emitter_id, shape_id,
+                 flat=False):
         v = np.asarray(v, np.float32)
         f = np.asarray(f, np.int64)
+        if flat:
+            # mitsuba face_normals=true: flat shading — every vertex of a
+            # face carries the face's geometric normal
+            fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+            fn = fn / np.maximum(
+                np.linalg.norm(fn, axis=-1, keepdims=True), 1e-12
+            )
+            if uv is None:
+                uv = np.zeros((len(v), 2), np.float32)
+            p0 = v[f[:, 0]]
+            cnt = len(f)
+            self.rows["prim_type"].append(np.full(cnt, geo.TRI, np.int32))
+            self.rows["p0"].append(p0)
+            self.rows["e1"].append(v[f[:, 1]] - p0)
+            self.rows["e2"].append(v[f[:, 2]] - p0)
+            for k in ("vn0", "vn1", "vn2"):
+                self.rows[k].append(fn.astype(np.float32))
+            self.rows["uv0"].append(uv[f[:, 0]])
+            self.rows["uv1"].append(uv[f[:, 1]])
+            self.rows["uv2"].append(uv[f[:, 2]])
+            self.rows["mat_id"].append(np.full(cnt, mat_id, np.int32))
+            self.rows["emitter_id"].append(
+                np.full(cnt, emitter_id, np.int32)
+            )
+            self.rows["shape_id"].append(np.full(cnt, shape_id, np.int32))
+            self.count += cnt
+            return
         if n is None:
             n = np.zeros_like(v)
             # face-normal fallback: accumulate area-weighted face normals
@@ -808,9 +836,10 @@ def load_dict(d: dict) -> Scene:
             )
             if n is not None:
                 n = _apply_normal_transform(to_w, n)
-            if val.get("face_normals", False):
-                n = None
-            gb.add_mesh(v, f, n, uv, mat_id, emitter_id, shape_count)
+            gb.add_mesh(
+                v, f, n, uv, mat_id, emitter_id, shape_count,
+                flat=bool(val.get("face_normals", False)),
+            )
         if emitter_id >= 0:
             emissive_prim_ranges.append((emitter_id, prim_start, gb.count))
         # interior participating medium (mitsuba3 <medium name="interior">)
