@@ -618,6 +618,8 @@ def render(scene, spp=None, seed=0, integrator=None, max_depth=None,
             img if wsum is None
             else img / jnp.maximum(wsum, 1e-12)[..., None]
         )
+        if cfg.sensor_scale != 1.0:
+            out = out * cfg.sensor_scale  # measurement sensors (W/m^2)
         if return_stats:
             return out, {"rays_traced": rays}
         return out

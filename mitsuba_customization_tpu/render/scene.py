@@ -70,6 +70,7 @@ class SceneConfig:
     rfilter: str = "box"
     use_bvh: bool = False
     hide_emitters: bool = False
+    sensor_scale: float = 1.0  # radiance -> measurement (irradiancemeter pi)
 
     def __hash__(self):
         return hash(dataclasses.astuple(self))
@@ -874,10 +875,18 @@ def load_dict(d: dict) -> Scene:
             cfg.rr_depth = int(val.get("rr_depth", cfg.rr_depth))
             cfg.hide_emitters = bool(val.get("hide_emitters", False))
             continue
-        if t in ("perspective", "thinlens", "orthographic"):
+        if t in ("perspective", "thinlens", "orthographic",
+                 "radiancemeter", "irradiancemeter", "distant"):
             film = val.get("film", {})
-            cfg.width = int(film.get("width", cfg.width))
-            cfg.height = int(film.get("height", cfg.height))
+            if t in ("radiancemeter", "irradiancemeter"):
+                cfg.width = int(film.get("width", 1))
+                cfg.height = int(film.get("height", 1))
+                if t == "irradiancemeter":
+                    # pixel mean * pi = irradiance (cosine-warp estimator)
+                    cfg.sensor_scale = float(np.pi)
+            else:
+                cfg.width = int(film.get("width", cfg.width))
+                cfg.height = int(film.get("height", cfg.height))
             cfg.rfilter = film.get("rfilter", {}).get("type", "box") if isinstance(film.get("rfilter"), dict) else film.get("rfilter", "box")
             samp = val.get("sampler", {})
             cfg.sampler = samp.get("type", cfg.sampler)

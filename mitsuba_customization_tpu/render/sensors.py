@@ -1,8 +1,15 @@
-"""Sensors (cameras): perspective, thinlens, orthographic.
+"""Sensors: perspective, thinlens, orthographic, radiancemeter,
+irradiancemeter, distant.
 
 TPU-native counterpart of mitsuba3 src/sensors/ (SURVEY.md §2.4, starred:
 `perspective`). A sensor maps film positions (+ aperture samples) to
 primary rays — Sensor::sample_ray_differential in SURVEY.md §3.1.
+Measurement sensors follow mitsuba3 semantics: `radiancemeter` shoots one
+ray (+z in sensor space) per sample — the point-wise integrator
+validation tool; `irradiancemeter` cosine-samples the +z hemisphere (the
+film mean times pi is the irradiance; render() applies the pi through
+SceneConfig.sensor_scale); `distant` records radiance arriving from the
+sensor direction onto a target-plane film.
 """
 
 from __future__ import annotations
@@ -21,6 +28,9 @@ from mitsuba_customization_tpu.render.records import Ray
 PERSPECTIVE = 0
 THINLENS = 1
 ORTHOGRAPHIC = 2
+RADIANCEMETER = 3
+IRRADIANCEMETER = 4
+DISTANT = 5
 
 
 class Sensor(NamedTuple):
@@ -75,6 +85,9 @@ def make_sensor(
                 "perspective": PERSPECTIVE,
                 "thinlens": THINLENS,
                 "orthographic": ORTHOGRAPHIC,
+                "radiancemeter": RADIANCEMETER,
+                "irradiancemeter": IRRADIANCEMETER,
+                "distant": DISTANT,
             }.get(sensor_type, sensor_type)
             if isinstance(sensor_type, str)
             else sensor_type,
@@ -129,12 +142,41 @@ def sample_ray(sensor: Sensor, film_uv, aperture_uv, aspect):
         jnp.asarray([0.0, 0.0, 1.0], dtype=x.dtype), o_ortho.shape
     )
 
+    # Radiancemeter: one fixed ray (+z) regardless of film position.
+    o_meter = jnp.zeros_like(o_persp)
+    d_meter = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 1.0], dtype=x.dtype), o_persp.shape
+    )
+    # Irradiancemeter: cosine-weighted hemisphere over +z, warped from the
+    # film sample (pixel mean * pi = irradiance; SceneConfig.sensor_scale).
+    from mitsuba_customization_tpu.core.warp import (
+        square_to_cosine_hemisphere,
+    )
+
+    d_irr = square_to_cosine_hemisphere(film_uv)
+    # Distant: orthographic target plane pushed back far outside the scene.
+    o_dist = o_ortho - 1.0e4 * d_ortho
+
     st = sensor.sensor_type
     o_cam = jnp.where(
-        (st == THINLENS), o_lens, jnp.where(st == ORTHOGRAPHIC, o_ortho, o_persp)
+        st == THINLENS, o_lens,
+        jnp.where(
+            st == ORTHOGRAPHIC, o_ortho,
+            jnp.where(
+                (st == RADIANCEMETER) | (st == IRRADIANCEMETER), o_meter,
+                jnp.where(st == DISTANT, o_dist, o_persp),
+            ),
+        ),
     )
     d_cam = jnp.where(
-        (st == THINLENS), d_lens, jnp.where(st == ORTHOGRAPHIC, d_ortho, d_persp)
+        st == THINLENS, d_lens,
+        jnp.where(
+            (st == ORTHOGRAPHIC) | (st == DISTANT), d_ortho,
+            jnp.where(
+                st == RADIANCEMETER, d_meter,
+                jnp.where(st == IRRADIANCEMETER, d_irr, d_persp),
+            ),
+        ),
     )
 
     rot = sensor.to_world[:3, :3]
