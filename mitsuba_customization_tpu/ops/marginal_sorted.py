@@ -79,7 +79,7 @@ def _pack_cells(r_own, r_nee, c_nee, r_cos, c_cos, h, w):
 
 
 def _cond_kernel(n_h, n_w, key_ref, ucol_ref, cells_ref, condT_ref,
-                 x_ref, mo_ref, mn_ref, mc_ref, slab, sem):
+                 x_ref, mo_ref, mn_ref, mc_ref, slab, cache_ref, sem):
     """Per-tile segment walk (module docstring step 3).
 
     n_h is the TRUE marginal row count (<= LANE; the slab's lane axis is
@@ -103,11 +103,28 @@ def _cond_kernel(n_h, n_w, key_ref, ucol_ref, cells_ref, condT_ref,
         """row_b (TILE_ROWS, LANE) broadcast block gathered at per-lane r."""
         return jnp.take_along_axis(row_b, r, axis=1)
 
+    n_slices = condT_ref.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cache_ref[0] = -1  # no slice resident at kernel start
+
     def seg_body(state):
         cur, accs = state
-        copy = pltpu.make_async_copy(condT_ref.at[cur], slab, sem)
-        copy.start()
-        copy.wait()
+
+        # Persistent slice cache: the slab survives across sequential grid
+        # steps, so the DMA count is the number of distinct slices the
+        # whole sorted wavefront touches (<= n_mat * N_THETA_I), not the
+        # per-tile segment count.
+        @pl.when(cur != cache_ref[0])
+        def _():
+            copy = pltpu.make_async_copy(
+                condT_ref.at[jnp.clip(cur, 0, n_slices - 1)], slab, sem
+            )
+            copy.start()
+            copy.wait()
+            cache_ref[0] = cur
+
         m = keys == cur
 
         def col_body(w_i, carry):
@@ -189,6 +206,7 @@ def _cond_impl(condT, key, ucol, cells, n_h, n_w, interpret):
         out_specs=[lane_spec] * 4,
         scratch_shapes=[
             pltpu.VMEM((condT.shape[1], LANE), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -236,14 +254,16 @@ def cond_sample_pdf(condT, n_rows, slice_key, u_col, r_own, r_nee, c_nee,
     u_p = jnp.pad(u_col, (0, pad))
     cells_p = jnp.pad(cells, (0, pad))
 
-    sk, su, sc, sl = jax.lax.sort(
-        [key_p, u_p, cells_p, lane_id], dimension=0, num_keys=1,
-        is_stable=False,
+    from mitsuba_customization_tpu.ops.merl_sorted import (
+        _chunked_sort,
+        _n_chunks,
     )
+
+    n_chunks = _n_chunks(npad)
+    sk, su, sc, sl = _chunked_sort([key_p, u_p, cells_p, lane_id], n_chunks)
     x, mo, mn, mc = _cond_impl(condT, sk, su, sc, n_h, n_w, interpret)
-    _, xo, moo, mno, mco = jax.lax.sort(
-        [sl, x, mo, mn, mc], dimension=0, num_keys=1, is_stable=False
-    )
+    # chunk-local unsort (forward sort permuted only within chunks)
+    _, xo, moo, mno, mco = _chunked_sort([sl, x, mo, mn, mc], n_chunks)
     zero = jnp.zeros_like(xo[:n])
     out = tuple(jnp.where(valid, v[:n], zero) for v in (xo, moo, mno, mco))
     return out

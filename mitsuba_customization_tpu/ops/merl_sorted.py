@@ -45,9 +45,51 @@ TILE_ROWS = 16  # lanes per tile = TILE_ROWS * LANE = 2048
 TILE = TILE_ROWS * LANE
 _F16 = 65535.0
 
+# Sort in independent chunks of this many lanes (dimension=1 batched
+# bitonic) instead of one global sort. Valid because the segment kernel
+# only needs *tile-local* sorted order (tiles never span a chunk
+# boundary: SORT_CHUNK is a multiple of TILE); XLA's sort cost is
+# superlinear in length (on-chip: 4M 4-operand 7.7 ms, 2M 2.1 ms,
+# PROFILE_dispatch3_r03.json), so chunking nearly halves the dominant
+# per-bounce cost. Trade-off: distinct-cells-per-tile grows by ~the
+# chunk-count factor, which the kernel's double-buffered slab DMA hides.
+SORT_CHUNK = 1 << 19
+
+
+def _chunked_sort(operands, n_chunks):
+    """lax.sort along dim 0, batched into n_chunks independent chunks."""
+    if n_chunks <= 1:
+        return jax.lax.sort(
+            operands, dimension=0, num_keys=1, is_stable=False
+        )
+    n = operands[0].shape[0]
+    cl = n // n_chunks
+    outs = jax.lax.sort(
+        [o.reshape(n_chunks, cl) for o in operands],
+        dimension=1, num_keys=1, is_stable=False,
+    )
+    return [o.reshape(n) for o in outs]
+
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+def _n_chunks(npad, chunk=None):
+    """Largest chunk count splitting npad into equal TILE-aligned chunks
+    of >= SORT_CHUNK lanes (static python arithmetic).
+
+    Chunking only pays off at >= 8 chunks — XLA's batched bitonic lowering
+    is SLOWER than the 1-D sort at 2 or 4 batches (on-chip: 4M 4-operand
+    1-D 7.7 ms, (2, 2M) 17.5 ms, (4, 1M) 8.3 ms, (8, 512K) 3.8 ms) — so
+    arrays too small for >= 8 chunks keep the global 1-D sort."""
+    chunk = chunk or SORT_CHUNK
+    c = max(1, npad // chunk)
+    if c < 8:
+        return 1
+    while c > 1 and (npad % c != 0 or (npad // c) % TILE != 0):
+        c -= 1
+    return c if c >= 8 else 1
 
 
 def pack_perm(table):
@@ -64,8 +106,20 @@ def pack_perm(table):
 
 
 def _segment_kernel(n_th, n_td, n_pd, kpad, key_ref, fpack_ref, updf_ref,
-                    table_ref, r_ref, g_ref, b_ref, slab, sem):
-    """Per-tile segment walk. See module docstring step 3."""
+                    table_ref, r_ref, g_ref, b_ref, slab, cache_ref, sem):
+    """Per-tile segment walk over a persistent (slot, theta_h-pair) slab.
+
+    The slab caches perm[slot, i:i+2] — BOTH theta_h rows x ALL theta_d
+    cells (2, n_td, 4, kpad), ~0.7 MB for MERL — so the DMA count per
+    kernel is the number of distinct (slot, i) pairs the sorted wavefront
+    touches (<= n_mat * n_th), not distinct trilinear cells (up to
+    n_mat * n_th * n_td). theta_d corners resolve with scalar dynamic
+    slices per segment; the cache persists across sequential grid steps
+    (TPU grids are sequential and scratch survives between tiles), so
+    consecutive tiles sharing a pair pay nothing. This is what makes
+    chunked sorting (SORT_CHUNK) profitable: chunking multiplies distinct
+    segments per tile, which only costs VPU microseconds here, while the
+    bitonic sort cost drops superlinearly."""
     keys = key_ref[:]  # (TILE_ROWS, LANE) int32, sorted ascending
     fpack = fpack_ref[:]
     # Mosaic lacks a u32->f32 cast; both halves fit in i32 exactly.
@@ -99,21 +153,34 @@ def _segment_kernel(n_th, n_td, n_pd, kpad, key_ref, fpack_ref, updf_ref,
             out = jnp.where((kk // LANE) == bank, got, out)
         return out
 
+    n_mat = table_ref.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cache_ref[0] = -1  # no pair resident at kernel start
+
+    def _decode(cur):
+        """key -> clamped (slot, i, j); clamping keeps addresses legal
+        for the SENT sentinel (whose DMA is never issued)."""
+        slot = jnp.clip(cur // (n_th * n_td), 0, n_mat - 1)
+        rem = cur - slot * (n_th * n_td)
+        i = jnp.clip(rem // n_td, 0, n_th - 2)
+        j = jnp.clip(rem - i * n_td, 0, n_td - 2)
+        return slot, i, j
+
     def body(state):
         cur, accs = state
-        # decode key -> (slot, i, j)
-        slot = cur // (n_th * n_td)
-        rem = cur - slot * (n_th * n_td)
-        i = rem // n_td
-        j = rem - i * n_td
+        slot, i, j = _decode(cur)
+        pair = slot * n_th + i
 
-        copy = pltpu.make_async_copy(
-            table_ref.at[slot, pl.ds(i, 2), pl.ds(j, 2), :, :],
-            slab,
-            sem,
-        )
-        copy.start()
-        copy.wait()
+        @pl.when(pair != cache_ref[0])
+        def _():
+            copy = pltpu.make_async_copy(
+                table_ref.at[slot, pl.ds(i, 2)], slab, sem
+            )
+            copy.start()
+            copy.wait()
+            cache_ref[0] = pair
 
         m = keys == cur
         new_accs = []
@@ -121,7 +188,7 @@ def _segment_kernel(n_th, n_td, n_pd, kpad, key_ref, fpack_ref, updf_ref,
             val = zero
             for a in (0, 1):
                 for b in (0, 1):
-                    row = slab[a, b, c, :]
+                    row = slab[a, jnp.clip(j + b, 0, n_td - 1), c, :]
                     s = lane_pick(row, k0) * (1.0 - fpd) + lane_pick(
                         row, k1
                     ) * fpd
@@ -171,7 +238,8 @@ def _eval_sorted_impl(perm, key, fpack, updf, n_pd, interpret):
         ],
         out_specs=[lane_spec] * 3,
         scratch_shapes=[
-            pltpu.VMEM((2, 2, 4, kpad), jnp.float32),
+            pltpu.VMEM((2, n_td, 4, kpad), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -243,14 +311,14 @@ def eval_sorted(table, wi, wo, slot=None, mask=None, interpret=False,
     fpack_p = jnp.pad(fpack, (0, pad))
     updf_p = jnp.pad(u_pd, (0, pad))
 
-    sk, sf, su, sl = jax.lax.sort(
-        [key_p, fpack_p, updf_p, lane_id], dimension=0, num_keys=1,
-        is_stable=False,
+    n_chunks = _n_chunks(npad)
+    sk, sf, su, sl = _chunked_sort(
+        [key_p, fpack_p, updf_p, lane_id], n_chunks
     )
     r, g, b = _eval_sorted_impl(perm, sk, sf, su, n_pd, interpret)
-    _, rr, gg, bb = jax.lax.sort(
-        [sl, r, g, b], dimension=0, num_keys=1, is_stable=False
-    )
+    # chunk-local unsort is exact: the forward sort permutes only within
+    # each chunk, so chunk c's lane ids all lie in [c*cl, (c+1)*cl).
+    _, rr, gg, bb = _chunked_sort([sl, r, g, b], n_chunks)
     out = jnp.stack([rr[:n], gg[:n], bb[:n]], axis=-1)
     return jnp.where(valid[..., None], jnp.maximum(out, 0.0), 0.0)
 
