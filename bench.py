@@ -55,11 +55,37 @@ def _scaling_subprocess():
     return None
 
 
+def _probe_compact_schedule(scene, spp=8):
+    """One cheap pass -> per-bounce live fractions -> compaction schedule.
+
+    rays_per_bounce counts live lanes entering each bounce (plus NEE
+    shadow rays, making the fractions conservative); the schedule keeps
+    20% + 2pt headroom so systematic thinning of live lanes stays rare
+    (render/integrator._run_bounces_compact docstring).
+    """
+    import dataclasses
+
+    from mitsuba_customization_tpu.render.integrator import render_lanes
+
+    @jax.jit
+    def probe(scene):
+        _, _, st = render_lanes(scene, spp, jnp.uint32(0))
+        return st["rays_per_bounce"]
+
+    rpb = jax.device_get(probe(scene)).astype(float)
+    fracs = [1.0] + [
+        min(1.0, float(f) * 1.2 + 0.02) for f in (rpb[1:] / max(rpb[0], 1))
+    ]
+    cfg = dataclasses.replace(scene.config, compact=tuple(fracs))
+    return dataclasses.replace(scene, config=cfg), fracs
+
+
 def main():
     res = 512
     spp = 64
     depth = 4
     scene = _flagship_scene(res=res, spp=spp, depth=depth)
+    scene, compact_fracs = _probe_compact_schedule(scene)
 
     @jax.jit
     def run(scene, seed):
@@ -88,6 +114,7 @@ def main():
         "unit": "rays/s",
         "vs_baseline": rays_per_s / TARGET_RAYS_PER_S,
         "baseline_note": BASELINE_NOTE,
+        "compact_schedule": [round(f, 4) for f in compact_fracs],
     }
     scaling = _scaling_subprocess()
     if scaling is not None:

@@ -325,7 +325,8 @@ def eval_pdf(table: BSDFTable, mat_id, wi, wo, uv=None):
 
 
 def bounce_shade(table: BSDFTable, mat_id, wi, wo_nee, sample2, sample1=None,
-                 uv=None, need_attached=False, has_nee=True, active=None):
+                 uv=None, need_attached=False, has_nee=True, active=None,
+                 coherent=False):
     """All BSDF work of one path-tracer bounce in one dispatch pass.
 
     Fuses {eval_pdf(wi, wo_nee), sample(wi, u), eval(wi, wo_sampled)} —
@@ -379,7 +380,7 @@ def bounce_shade(table: BSDFTable, mat_id, wi, wo_nee, sample2, sample1=None,
                 table.stacks[kid], wi, wo_nee, sample2, sample1,
                 slot=slot_safe, mask=mask,
                 mask_nee=mask if has_nee else jnp.zeros_like(mask),
-                need_attached=need_attached,
+                need_attached=need_attached, coherent=coherent,
             )
             # weight = f_attached / sg(pdf) exactly, so the attached eval
             # at wo is recovered without a second pass.

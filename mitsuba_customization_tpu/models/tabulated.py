@@ -327,12 +327,15 @@ def _normalize_slot(params, slot):
     return slot if params.table.ndim == 5 else None
 
 
-def eval_f(params: TabulatedBRDF, wi, wo, slot=None, mask=None):
+def eval_f(params: TabulatedBRDF, wi, wo, slot=None, mask=None,
+           coherent=False):
     """Interpolated f(wi, wo) (no cosine) through the fastest available path.
 
     TPU: ops/merl_sorted's sort + segment Pallas kernel (~12x the packed
     row-gather at 2M lanes, scripts/bench_sorted.py). Elsewhere: the
-    corner-block packed row-gather. Both match eval_raw.
+    corner-block packed row-gather. Both match eval_raw. coherent=True
+    skips the kernel's sort+unsort (exact, fast for primary-bounce lane
+    coherence — ops/merl_sorted.eval_sorted docstring).
     """
     slot = _normalize_slot(params, slot)
     if _eval_path() == "sorted" and params.perm is not None:
@@ -341,7 +344,8 @@ def eval_f(params: TabulatedBRDF, wi, wo, slot=None, mask=None):
         lanes = wi.shape[:-1]
         if len(lanes) == 1:
             return merl_sorted.eval_trilinear(
-                params.table, params.perm, wi, wo, slot, mask, INTERPRET
+                params.table, params.perm, wi, wo, slot, mask, INTERPRET,
+                coherent,
             )
         def flat(x):
             return None if x is None else x.reshape(
@@ -350,7 +354,7 @@ def eval_f(params: TabulatedBRDF, wi, wo, slot=None, mask=None):
 
         out = merl_sorted.eval_trilinear(
             params.table, params.perm, flat(wi), flat(wo),
-            flat(slot), flat(mask), INTERPRET,
+            flat(slot), flat(mask), INTERPRET, coherent,
         )
         return out.reshape(lanes + (3,))
     if params.corners is not None:
@@ -576,7 +580,8 @@ def _square_cells(wi_c, wo_c):
 
 
 def bounce_shade(params: TabulatedBRDF, wi, wo_nee, sample2, sample1=None,
-                 slot=None, mask=None, mask_nee=None, need_attached=False):
+                 slot=None, mask=None, mask_nee=None, need_attached=False,
+                 coherent=False):
     """All tabulated-BRDF work of one path-tracer bounce, fused.
 
     Replaces the round-2 sequence {eval_pdf(wo_nee), sample(), eval(wo)} —
@@ -664,6 +669,7 @@ def bounce_shade(params: TabulatedBRDF, wi, wo_nee, sample2, sample1=None,
         x, mass_own, mass_nee, mass_cos = marginal_sorted.cond_sample_pdf(
             sg(params.condT), SAMPLE_RES_H, flat_key, u_col, r_own, r_nee,
             c_nee, r_cos, c_cos, any_mask, interpret=INTERPRET,
+            coherent=coherent,
         )
     else:
         # one-hot fallback (CPU tests / parity checks)
@@ -714,6 +720,13 @@ def bounce_shade(params: TabulatedBRDF, wi, wo_nee, sample2, sample1=None,
     pdf_nee = sg(jnp.where(nee_ok & cos_wi_ok, pdf_nee, 0.0))
 
     # ---- ONE combined trilinear eval over [wo_nee ; wo_sampled] ----
+    # (one sort, one segment walk for both per-bounce evaluations).
+    # NOTE: the eval does NOT use `coherent` even at the primary bounce —
+    # measured on-chip (round 4): NEE directions are per-lane emitter
+    # *samples* (constant/area emitters randomize them), so real b0 tiles
+    # average ~170 distinct trilinear cells (p95 ~820) and the sort-free
+    # walk is 7x slower than sorting. Only the sampling-CDF kernel below
+    # is slice-coherent at b0 (~1.5 distinct slices/tile).
     wi2 = jnp.concatenate([wi, wi], axis=0)
     wo2 = jnp.concatenate([wo_nee, wo], axis=0)
     slot2 = None

@@ -171,7 +171,8 @@ def _cond_kernel(n_h, n_w, key_ref, ucol_ref, cells_ref, condT_ref,
     def cond(state):
         return state[0] != SENT
 
-    cur0 = key_ref[0, 0]
+    # min over the tile, not keys[0,0] (coherent mode feeds unsorted lanes)
+    cur0 = jnp.min(keys)
     _, (x, mo, mn, mc) = jax.lax.while_loop(
         cond, seg_body, (cur0, (zero, zero, zero, zero))
     )
@@ -220,7 +221,7 @@ def _cond_impl(condT, key, ucol, cells, n_h, n_w, interpret):
 
 
 def cond_sample_pdf(condT, n_rows, slice_key, u_col, r_own, r_nee, c_nee,
-                    r_cos, c_cos, valid, interpret=False):
+                    r_cos, c_cos, valid, interpret=False, coherent=False):
     """Per-lane conditional-CDF inversion + two cell masses, sorted order.
 
     condT:     pack_condT output (n_slices, W, 128).
@@ -235,6 +236,8 @@ def cond_sample_pdf(condT, n_rows, slice_key, u_col, r_own, r_nee, c_nee,
     the sampled column position in [0,1) and the masses are CDF cell
     differences (multiply by the marginal row mass * H * W for the pdf).
     Matches core/distr.Marginal2D.sample / eval_pdf column semantics.
+    coherent=True skips sort+unsort (exact; fast only for primary-bounce
+    coherence — see ops/merl_sorted.eval_sorted).
     """
     n_h = int(n_rows)
     n_w = condT.shape[1]
@@ -249,21 +252,27 @@ def cond_sample_pdf(condT, n_rows, slice_key, u_col, r_own, r_nee, c_nee,
 
     npad = _round_up(max(n, TILE), TILE)
     pad = npad - n
-    lane_id = jnp.arange(npad, dtype=jnp.int32)
-    key_p = jnp.pad(key, (0, pad), constant_values=int(SENT))
-    u_p = jnp.pad(u_col, (0, pad))
-    cells_p = jnp.pad(cells, (0, pad))
 
     from mitsuba_customization_tpu.ops.merl_sorted import (
         _chunked_sort,
         _n_chunks,
+        _sorted_operands,
     )
 
-    n_chunks = _n_chunks(npad)
-    sk, su, sc, sl = _chunked_sort([key_p, u_p, cells_p, lane_id], n_chunks)
-    x, mo, mn, mc = _cond_impl(condT, sk, su, sc, n_h, n_w, interpret)
-    # chunk-local unsort (forward sort permuted only within chunks)
-    _, xo, moo, mno, mco = _chunked_sort([sl, x, mo, mn, mc], n_chunks)
+    if coherent:
+        sk = jnp.pad(key, (0, pad), constant_values=int(SENT))
+        su = jnp.pad(u_col, (0, pad))
+        sc = jnp.pad(cells, (0, pad))
+        xo, moo, mno, mco = _cond_impl(condT, sk, su, sc, n_h, n_w,
+                                       interpret)
+    else:
+        n_chunks = _n_chunks(npad, tile=TILE)
+        sk, (su, sc), sl = _sorted_operands(
+            key, [u_col, cells], valid, npad, n_chunks, condT.shape[0]
+        )
+        x, mo, mn, mc = _cond_impl(condT, sk, su, sc, n_h, n_w, interpret)
+        # chunk-local unsort (forward sort permuted only within chunks)
+        _, xo, moo, mno, mco = _chunked_sort([sl, x, mo, mn, mc], n_chunks)
     zero = jnp.zeros_like(xo[:n])
     out = tuple(jnp.where(valid, v[:n], zero) for v in (xo, moo, mno, mco))
     return out

@@ -46,14 +46,17 @@ TILE = TILE_ROWS * LANE
 _F16 = 65535.0
 
 # Sort in independent chunks of this many lanes (dimension=1 batched
-# bitonic) instead of one global sort. Valid because the segment kernel
-# only needs *tile-local* sorted order (tiles never span a chunk
-# boundary: SORT_CHUNK is a multiple of TILE); XLA's sort cost is
-# superlinear in length (on-chip: 4M 4-operand 7.7 ms, 2M 2.1 ms,
-# PROFILE_dispatch3_r03.json), so chunking nearly halves the dominant
-# per-bounce cost. Trade-off: distinct-cells-per-tile grows by ~the
-# chunk-count factor, which the kernel's double-buffered slab DMA hides.
-SORT_CHUNK = 1 << 19
+# bitonic) instead of one global sort. The isolated sort is 40-50%
+# cheaper chunked (round-4 sweep, scripts/profile_sort4.py: 2M 4-operand
+# 1-D 6.2 ms vs 3.7 ms at 32x64K chunks) — but chunking multiplies the
+# *segment-walk iterations* of the downstream kernel by ~the chunk count
+# (each chunk re-spans the whole populated key set, so distinct keys per
+# tile scale with n_chunks), and for MERL-sized key spaces the kernel
+# loss dwarfs the sort win: end-to-end eval at 2M lanes measured 15.8 ms
+# global vs 37/59/99 ms at 8/16/32 chunks (PROFILE_sort_r04.json "C").
+# Default therefore DISABLES chunking (threshold above any real
+# wavefront); the machinery stays for small-key-space callers and tests.
+SORT_CHUNK = 1 << 25
 
 
 def _chunked_sort(operands, n_chunks):
@@ -75,21 +78,71 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _n_chunks(npad, chunk=None):
-    """Largest chunk count splitting npad into equal TILE-aligned chunks
+def _n_chunks(npad, chunk=None, tile=None):
+    """Largest chunk count splitting npad into equal tile-aligned chunks
     of >= SORT_CHUNK lanes (static python arithmetic).
 
     Chunking only pays off at >= 8 chunks — XLA's batched bitonic lowering
-    is SLOWER than the 1-D sort at 2 or 4 batches (on-chip: 4M 4-operand
-    1-D 7.7 ms, (2, 2M) 17.5 ms, (4, 1M) 8.3 ms, (8, 512K) 3.8 ms) — so
-    arrays too small for >= 8 chunks keep the global 1-D sort."""
+    is SLOWER than the 1-D sort at 2 or 4 batches (round-3 on-chip: 4M
+    4-operand 1-D 7.7 ms, (2, 2M) 17.5 ms, (4, 1M) 8.3 ms, (8, 512K)
+    3.8 ms) — so arrays too small for >= 8 chunks keep the global sort.
+    `tile` is the caller's Pallas tile size (chunks must not split a
+    tile); callers with a different TILE must pass theirs."""
     chunk = chunk or SORT_CHUNK
+    tile = tile or TILE
     c = max(1, npad // chunk)
     if c < 8:
         return 1
-    while c > 1 and (npad % c != 0 or (npad // c) % TILE != 0):
+    while c > 1 and (npad % c != 0 or (npad // c) % tile != 0):
         c -= 1
     return c if c >= 8 else 1
+
+
+def _pack_spec(key_space, npad, n_chunks):
+    """Static plan for packing (key, chunk-local lane id) into ONE int32
+    sort operand — saves a full operand in the forward sort (round-4
+    on-chip sweep: 2M 3-op c32 3.26 ms vs 4-op 3.70 ms).
+
+    Returns (local_bits, sent_key) or None when the bit budget (31) does
+    not fit. sent_key is the all-ones key that sorts after every valid
+    key (valid keys < key_space <= sent_key)."""
+    cl = npad // n_chunks
+    local_bits = max(1, (cl - 1).bit_length())
+    key_bits = max(1, int(key_space).bit_length())
+    if key_bits + local_bits > 31:
+        return None
+    return local_bits, (1 << key_bits) - 1
+
+
+def _sorted_operands(key, payloads, valid_or_none, npad, n_chunks,
+                     key_space):
+    """Pad + sort (key, payloads...) grouping equal keys chunk-locally.
+
+    key: (n,) int32 with SENT already in masked lanes. Returns
+    (kernel_keys, sorted_payloads, unsort_key) — kernel_keys carry SENT
+    in masked/padded lanes; unsort_key re-orders kernel outputs back to
+    lane order via one more chunked sort (chunk-local by construction).
+    """
+    n = key.shape[0]
+    pad = npad - n
+    key_p = jnp.pad(key, (0, pad), constant_values=int(SENT))
+    pays = [jnp.pad(p, (0, pad)) for p in payloads]
+    spec = _pack_spec(key_space, npad, n_chunks)
+    if spec is not None:
+        local_bits, sent_key = spec
+        cl = npad // n_chunks
+        local = (jnp.arange(npad, dtype=jnp.int32) % cl)
+        kk = jnp.where(key_p == SENT, sent_key, key_p)
+        packed = (kk << local_bits) | local
+        outs = _chunked_sort([packed] + pays, n_chunks)
+        sp = outs[0]
+        pure = sp >> local_bits
+        kernel_keys = jnp.where(pure == sent_key, SENT, pure)
+        unsort_key = sp & ((1 << local_bits) - 1)
+        return kernel_keys, outs[1:], unsort_key
+    lane_id = jnp.arange(npad, dtype=jnp.int32)
+    outs = _chunked_sort([key_p] + pays + [lane_id], n_chunks)
+    return outs[0], outs[1:-1], outs[-1]
 
 
 def pack_perm(table):
@@ -201,7 +254,9 @@ def _segment_kernel(n_th, n_td, n_pd, kpad, key_ref, fpack_ref, updf_ref,
         cur, _ = state
         return cur != SENT
 
-    cur0 = key_ref[0, 0]
+    # min over the tile, not keys[0,0]: coherent (unsorted) mode feeds
+    # natural-order lanes; the segment walk itself is order-agnostic.
+    cur0 = jnp.min(keys)
     _, (ar, ag, ab) = jax.lax.while_loop(
         cond, body, (cur0, (zero, zero, zero))
     )
@@ -274,14 +329,19 @@ def _coords(table_shape, wi, wo):
 
 
 def eval_sorted(table, wi, wo, slot=None, mask=None, interpret=False,
-                perm=None):
+                perm=None, coherent=False):
     """f(wi, wo) per lane (no cosine), exact trilinear, sorted Pallas path.
 
     table: (n_th, n_td, n_pd, 3) or stacked (n_mat, ...); slot per-lane
     material index into the stack (None = single). mask: lanes to skip
     (masked lanes return 0 and cost no slab work). perm: optional
     precomputed pack_perm(table) (models/tabulated caches it in params so
-    the transpose isn't re-traced per bounce).
+    the transpose isn't re-traced per bounce). coherent=True skips the
+    sort AND unsort entirely and feeds lanes in natural order — the
+    segment walk is order-agnostic (it visits each distinct key a tile
+    contains, ascending), so this is exact; it is *fast* only when
+    neighboring lanes share trilinear cells, i.e. for primary-bounce
+    wavefronts where adjacent lanes are adjacent pixels.
     """
     stacked = table.ndim == 5
     n_th, n_td, n_pd = table.shape[-4], table.shape[-3], table.shape[-2]
@@ -289,6 +349,7 @@ def eval_sorted(table, wi, wo, slot=None, mask=None, interpret=False,
         perm = pack_perm(table if stacked else table[None])
     elif perm.ndim == 4:
         perm = perm[None]
+    n_mat = perm.shape[0]
 
     i0, j0, fth, ftd, u_pd, above = _coords((n_th, n_td, n_pd), wi, wo)
     valid = above
@@ -306,19 +367,22 @@ def eval_sorted(table, wi, wo, slot=None, mask=None, interpret=False,
     n = key.shape[0]
     npad = _round_up(max(n, TILE), TILE)
     pad = npad - n
-    lane_id = jnp.arange(npad, dtype=jnp.int32)
-    key_p = jnp.pad(key, (0, pad), constant_values=int(SENT))
-    fpack_p = jnp.pad(fpack, (0, pad))
-    updf_p = jnp.pad(u_pd, (0, pad))
 
-    n_chunks = _n_chunks(npad)
-    sk, sf, su, sl = _chunked_sort(
-        [key_p, fpack_p, updf_p, lane_id], n_chunks
-    )
-    r, g, b = _eval_sorted_impl(perm, sk, sf, su, n_pd, interpret)
-    # chunk-local unsort is exact: the forward sort permutes only within
-    # each chunk, so chunk c's lane ids all lie in [c*cl, (c+1)*cl).
-    _, rr, gg, bb = _chunked_sort([sl, r, g, b], n_chunks)
+    if coherent:
+        sk = jnp.pad(key, (0, pad), constant_values=int(SENT))
+        sf = jnp.pad(fpack, (0, pad))
+        su = jnp.pad(u_pd, (0, pad))
+        rr, gg, bb = _eval_sorted_impl(perm, sk, sf, su, n_pd, interpret)
+    else:
+        n_chunks = _n_chunks(npad)
+        sk, (sf, su), sl = _sorted_operands(
+            key, [fpack, u_pd], valid, npad, n_chunks,
+            n_mat * n_th * n_td,
+        )
+        r, g, b = _eval_sorted_impl(perm, sk, sf, su, n_pd, interpret)
+        # chunk-local unsort is exact: the forward sort permutes only
+        # within each chunk, so the carried ids re-place outputs locally.
+        _, rr, gg, bb = _chunked_sort([sl, r, g, b], n_chunks)
     out = jnp.stack([rr[:n], gg[:n], bb[:n]], axis=-1)
     return jnp.where(valid[..., None], jnp.maximum(out, 0.0), 0.0)
 
@@ -328,8 +392,9 @@ def eval_sorted(table, wi, wo, slot=None, mask=None, interpret=False,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def eval_trilinear(table, perm, wi, wo, slot, mask, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def eval_trilinear(table, perm, wi, wo, slot, mask, interpret=False,
+                   coherent=False):
     """Differentiable-in-table sorted trilinear eval (no cosine term).
 
     Forward reads only `perm` (= pack_perm(table), cached in the params
@@ -339,16 +404,16 @@ def eval_trilinear(table, perm, wi, wo, slot, mask, interpret=False):
     table gradient through the explicit `table` argument — exactly once.
     """
     return eval_sorted(table, wi, wo, slot=slot, mask=mask,
-                       interpret=interpret, perm=perm)
+                       interpret=interpret, perm=perm, coherent=coherent)
 
 
-def _eval_fwd(table, perm, wi, wo, slot, mask, interpret):
+def _eval_fwd(table, perm, wi, wo, slot, mask, interpret, coherent):
     out = eval_sorted(table, wi, wo, slot=slot, mask=mask,
-                      interpret=interpret, perm=perm)
+                      interpret=interpret, perm=perm, coherent=coherent)
     return out, (table, perm, wi, wo, slot, mask)
 
 
-def _eval_bwd(interpret, res, g):
+def _eval_bwd(interpret, coherent, res, g):
     from mitsuba_customization_tpu.models.tabulated import eval_raw
 
     table, perm, wi, wo, slot, mask = res

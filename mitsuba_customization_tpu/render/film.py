@@ -120,3 +120,14 @@ def develop_box(values, height, width, spp):
     Channel count is free (3 for radiance; 6 for the moment integrator)."""
     c = values.shape[-1]
     return values.reshape(height, width, spp, c).mean(axis=2)
+
+
+def develop_box_blocked(values, height, width, spp, block):
+    """develop_box for block-ordered lanes (render/integrator._BLOCK):
+    lane layout (by, bx, y_in_block, x_in_block, spp, c) -> (H, W, c).
+    Pure reshape+transpose — free data movement on TPU."""
+    c = values.shape[-1]
+    v = values.reshape(
+        height // block, width // block, block, block, spp, c
+    ).mean(axis=4)
+    return v.transpose(0, 2, 1, 3, 4).reshape(height, width, c)

@@ -41,6 +41,10 @@ _OFF_NEE = 4
 
 _SHADOW_INF = 1e30
 
+# Pixel-block edge for the coherent (blocked) lane ordering: one Pallas
+# tile (2048 lanes) covers a 16x16 pixel patch at 8 spp per pass.
+_BLOCK = 16
+
 # Maximum lanes traced per pass. Larger renders loop over spp chunks via
 # lax.scan (the wavefront structure of SURVEY.md §2.7 P5): bounded HBM for
 # ray state + sampler CDF gathers, one compiled pass graph regardless of
@@ -67,19 +71,57 @@ _UNROLL_MAX = 16
 
 
 def _run_bounces(body, init, max_depth):
+    """body(carry, b, static_b) — static_b is the Python bounce index in
+    unroll mode (lets per-bounce specialization like the coherent
+    primary-bounce kernels constant-fold) and None under lax.scan."""
     mode = BOUNCE_LOOP or ("unroll" if max_depth <= _UNROLL_MAX else "scan")
     if mode == "unroll":
         carry = init
         ys = []
         for b in range(max_depth):
-            carry, y = body(carry, jnp.asarray(b))
+            carry, y = body(carry, jnp.asarray(b), b)
             ys.append(y)
         return carry, jnp.stack(ys)
-    return jax.lax.scan(body, init, jnp.arange(max_depth))
+    return jax.lax.scan(
+        lambda c, b: body(c, b, None), init, jnp.arange(max_depth)
+    )
+
+
+def _compact_caps(n, fracs, max_depth):
+    """Static per-bounce lane capacities from fractional schedule `fracs`.
+
+    caps[b] = lanes kept alive entering bounce b, rounded up to a 2048
+    multiple (the sorted kernels' tile size), monotonically non-increasing,
+    caps[0] = n. Entries beyond len(fracs) repeat the last fraction."""
+    caps = [n]
+    for b in range(1, max_depth):
+        f = fracs[min(b, len(fracs) - 1)] if fracs else 1.0
+        c = min(n, ((int(n * f) + 2047) // 2048) * 2048)
+        caps.append(max(2048, min(caps[-1], c)))
+    return caps
+
+
+def _systematic_survive(active, cap, u):
+    """Exactly-|cap|-survivor unbiased thinning (systematic resampling).
+
+    Each active lane survives with probability p = min(1, c_eff/m) where
+    m = live count; survivors carry weight 1/p. c_eff keeps ~1.6%
+    headroom under `cap` so f32 rank rounding can never overflow the
+    static prefix. Equivalent to Russian roulette with a shared stratified
+    threshold — unbiased, and a no-op (p=1) whenever the live set already
+    fits, which a well-chosen schedule makes the common case.
+    """
+    m = jnp.sum(active.astype(jnp.int32))
+    c_eff = cap - max(32, cap // 64)
+    p = jnp.minimum(1.0, c_eff / jnp.maximum(m.astype(jnp.float32), 1.0))
+    rank = (jnp.cumsum(active.astype(jnp.int32)) - 1).astype(jnp.float32)
+    pos0 = (rank + u) * p
+    survive = active & (jnp.floor(pos0 + p) > jnp.floor(pos0))
+    return survive, p
 
 
 def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
-                ad_mode=False):
+                ad_mode=False, coherent0=False, compact_caps=None):
     """Per-lane path-traced radiance for primary rays ray0.
 
     Returns (L (N, 3), stats dict). Differentiable w.r.t. scene parameters
@@ -101,6 +143,9 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
     n = ray0.o.shape[:-1]
     has_emitters = bool(scene.emitters.n_emitters > 0)
     sg = jax.lax.stop_gradient
+    # Mutable holder: the compacting runner swaps in a prefix-sliced
+    # sampler each bounce; the plain runners leave it untouched.
+    _smp = [sampler]
 
     # Derive every carry component *data-dependently* from ray0.o so the
     # device-varying (vma) annotation propagates when tracing inside
@@ -116,9 +161,11 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
         zero < 0.5,  # prev delta (or camera) = True
     )
 
-    def bounce(carry, b):
+    def bounce(carry, b, static_b=None):
         ray, thr, L, active, prev_pdf, prev_delta = carry
-        smp = sampler.with_dim(CAMERA_DIMS + b.astype(jnp.uint32) * BOUNCE_DIMS)
+        smp = _smp[0].with_dim(
+            CAMERA_DIMS + b.astype(jnp.uint32) * BOUNCE_DIMS
+        )
 
         si = scene.ray_intersect(ray)
         si = apply_normal_maps(scene.bsdfs, si)
@@ -168,7 +215,7 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
             bsdf_mod.bounce_shade(
                 scene.bsdfs, si.mat_id, si.wi, wo_local, u2, u_lobe,
                 uv=si.uv, need_attached=ad_mode, has_nee=has_emitters,
-                active=active,
+                active=active, coherent=(coherent0 and static_b == 0),
             )
         )
 
@@ -227,15 +274,148 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
 
         return (ray, thr, L, active, bsdf_pdf, is_delta), n_rays
 
-    body = jax.checkpoint(bounce) if ad_mode else bounce
+    mode = BOUNCE_LOOP or ("unroll" if max_depth <= _UNROLL_MAX else "scan")
+    if (compact_caps is not None and mode == "unroll" and not ad_mode
+            and len(n) == 1):
+        return _run_bounces_compact(
+            scene, bounce, init, sampler, _smp, max_depth, compact_caps
+        )
+
+    body = (
+        jax.checkpoint(bounce, static_argnums=(2,)) if ad_mode else bounce
+    )
     (ray, thr, L, active, _, _), rays_per_bounce = _run_bounces(
         body, init, max_depth
     )
     return L, {"rays_per_bounce": rays_per_bounce}
 
 
+def _run_bounces_compact(scene, bounce, init, sampler, _smp, max_depth,
+                         fracs):
+    """Unrolled bounce loop with per-bounce wavefront compaction.
+
+    SURVEY.md §2.7 P5 / round-3 verdict item 3: dead lanes otherwise ride
+    every bounce at full price (round-3 ablation: per-bounce cost flat in
+    live fraction). Here, entering bounce b the live lanes are thinned to
+    a STATIC capacity caps[b] (fraction schedule -> _compact_caps) by
+    unbiased systematic resampling (_systematic_survive), partitioned to
+    a prefix with one sort over the previous capacity, and the bounce
+    body runs on the prefix slice only — every downstream op (intersect,
+    dispatch, kernel sorts) shrinks with the schedule while all shapes
+    stay static. Frozen suffix lanes keep their accumulated L; a single
+    final sort by carried lane tag restores film order.
+
+    Requires the unrolled loop (shapes vary per bounce) and primal mode
+    (ad_mode path-replay keeps the plain runner). Assumes primary rays
+    (compaction preserves ray.maxt exactly — it rides the permutation).
+    """
+    from mitsuba_customization_tpu.core.sampler import (
+        _uniform_from_bits,
+        hash_combine,
+    )
+
+    ray, thr, L, active, prev_pdf, prev_delta = init
+    N = ray.o.shape[0]
+    caps = _compact_caps(N, tuple(fracs), max_depth)
+    tag = jnp.arange(N, dtype=jnp.int32)
+    smp_names = ["lane"] + [
+        nm for nm in ("pixel", "sample_index") if hasattr(sampler, nm)
+    ]
+    smp_full = [getattr(sampler, nm) for nm in smp_names]
+
+    full = {
+        "o": ray.o, "d": ray.d, "maxt": ray.maxt, "thr": thr, "L": L,
+        "active": active, "pdf": prev_pdf, "delta": prev_delta, "tag": tag,
+    }
+    cur = N
+    rays_pb = []
+    compacted = False
+    for b in range(max_depth):
+        cap = caps[b]
+        if cap < cur:
+            compacted = True
+            u = _uniform_from_bits(
+                hash_combine(
+                    hash_combine(sampler.seed, jnp.uint32(0xC09AC7)),
+                    jnp.uint32(b),
+                )
+            )
+            act = full["active"][:cur]
+            survive, p = _systematic_survive(act, cap, u)
+            thr_p = jnp.where(
+                survive[..., None], full["thr"][:cur] / p, full["thr"][:cur]
+            )
+            iota = jnp.arange(cur, dtype=jnp.int32)
+            key = jnp.where(survive, iota, iota + jnp.int32(cur))
+            flags = (
+                (full["tag"][:cur] << 2)
+                | (survive.astype(jnp.int32) << 1)
+                | full["delta"][:cur].astype(jnp.int32)
+            )
+            ops = [
+                key,
+                flags,
+                full["o"][:cur, 0], full["o"][:cur, 1], full["o"][:cur, 2],
+                full["d"][:cur, 0], full["d"][:cur, 1], full["d"][:cur, 2],
+                full["maxt"][:cur],
+                thr_p[:, 0], thr_p[:, 1], thr_p[:, 2],
+                full["L"][:cur, 0], full["L"][:cur, 1], full["L"][:cur, 2],
+                full["pdf"][:cur],
+            ] + [a[:cur] for a in smp_full]
+            s = jax.lax.sort(ops, dimension=0, num_keys=1, is_stable=False)
+            flags_s = s[1]
+
+            def put(name, new):
+                full[name] = jnp.concatenate([new, full[name][cur:]], 0)
+
+            put("tag", flags_s >> 2)
+            put("active", ((flags_s >> 1) & 1).astype(bool))
+            put("delta", (flags_s & 1).astype(bool))
+            put("o", jnp.stack(s[2:5], axis=-1))
+            put("d", jnp.stack(s[5:8], axis=-1))
+            put("maxt", s[8])
+            put("thr", jnp.stack(s[9:12], axis=-1))
+            put("L", jnp.stack(s[12:15], axis=-1))
+            put("pdf", s[15])
+            smp_full = [
+                jnp.concatenate([sn, a[cur:]], 0)
+                for sn, a in zip(s[16:], smp_full)
+            ]
+            cur = cap
+
+        smp_b = sampler.clone()
+        for nm, a in zip(smp_names, smp_full):
+            setattr(smp_b, nm, a[:cur])
+        _smp[0] = smp_b
+        carry_b = (
+            Ray(o=full["o"][:cur], d=full["d"][:cur], maxt=full["maxt"][:cur]),
+            full["thr"][:cur], full["L"][:cur], full["active"][:cur],
+            full["pdf"][:cur], full["delta"][:cur],
+        )
+        carry_b, nr = bounce(carry_b, jnp.asarray(b), b)
+        rayb, thrb, Lb, actb, pdfb, deltab = carry_b
+        for name, new in (
+            ("o", rayb.o), ("d", rayb.d), ("maxt", rayb.maxt),
+            ("thr", thrb), ("L", Lb), ("active", actb), ("pdf", pdfb),
+            ("delta", deltab),
+        ):
+            full[name] = jnp.concatenate([new, full[name][cur:]], 0)
+        rays_pb.append(nr)
+    _smp[0] = sampler
+
+    L = full["L"]
+    if compacted:
+        # restore film (lane) order: tag is a permutation of [0, N)
+        _, r, g, bch = jax.lax.sort(
+            [full["tag"], L[:, 0], L[:, 1], L[:, 2]],
+            dimension=0, num_keys=1, is_stable=False,
+        )
+        L = jnp.stack([r, g, bch], axis=-1)
+    return L, {"rays_per_bounce": jnp.stack(rays_pb)}
+
+
 def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
-                  ad_mode=False):
+                  ad_mode=False, coherent0=False, compact_caps=None):
     """Volumetric path tracer (mitsuba3 src/integrators/volpath.cpp analogue).
 
     Extends trace_paths with participating media (render/medium.py):
@@ -270,7 +450,7 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
         jnp.full(zero.shape, -1, jnp.int32) + (zero > 1.0),  # medium id (-1)
     )
 
-    def bounce(carry, b):
+    def bounce(carry, b, static_b=None):
         ray, thr, L, active, prev_pdf, prev_delta, mid = carry
         bu = b.astype(jnp.uint32)
         smp = sampler.with_dim(CAMERA_DIMS + bu * BOUNCE_DIMS)
@@ -343,7 +523,7 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
          f_attached) = bsdf_mod.bounce_shade(
             scene.bsdfs, si.mat_id, si.wi, wo_local, u2, u_lobe,
             uv=si.uv, need_attached=ad_mode, has_nee=has_emitters,
-            active=real_surf,
+            active=real_surf, coherent=(coherent0 and static_b == 0),
         )
 
         if has_emitters:
@@ -457,7 +637,9 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
 
         return (ray, thr, L, active, prev_pdf, prev_delta, mid), n_rays
 
-    body = jax.checkpoint(bounce) if ad_mode else bounce
+    body = (
+        jax.checkpoint(bounce, static_argnums=(2,)) if ad_mode else bounce
+    )
     (ray, thr, L, active, _, _, _), rays_per_bounce = _run_bounces(
         body, init, max_depth
     )
@@ -466,7 +648,7 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
 
 def render_lanes(scene, spp, seed, integrator=None, max_depth=None,
                  ad_mode=False, lane_offset=0, n_lanes=None,
-                 pixel=None, sample_idx=None):
+                 pixel=None, sample_idx=None, coherent0=False):
     """Trace pixel*spp lanes; returns (L (N,3), film_xy (N,2), stats).
 
     lane_offset/n_lanes select a contiguous lane range — the sharding hook:
@@ -526,18 +708,19 @@ def render_lanes(scene, spp, seed, integrator=None, max_depth=None,
         # moment (for variance estimation); (..., 6) = [L, L^2]
         L, stats = trace_paths(
             scene, ray0, smp, max_depth, cfg.rr_depth, cfg.hide_emitters,
-            ad_mode=ad_mode,
+            ad_mode=ad_mode, coherent0=coherent0,
         )
         return jnp.concatenate([L, L * L], axis=-1), film_xy, stats
 
     use_vol = (
-        integrator in ("volpath", "volpathmis")
+        integrator in ("volpath", "volpathmis", "prbvolpath")
         or bool(scene.media.n_media > 0)
     )
     tracer = trace_volpath if use_vol else trace_paths
     L, stats = tracer(
         scene, ray0, smp, max_depth, cfg.rr_depth, cfg.hide_emitters,
-        ad_mode=ad_mode,
+        ad_mode=ad_mode, coherent0=coherent0,
+        compact_caps=cfg.compact,
     )
     return L, film_xy, stats
 
@@ -577,6 +760,13 @@ def render(scene, spp=None, seed=0, integrator=None, max_depth=None,
     """
     cfg = scene.config
     spp = spp or cfg.spp
+    if (integrator or cfg.integrator) == "ptracer":
+        from mitsuba_customization_tpu.render.ptracer import render_ptracer
+
+        return render_ptracer(
+            scene, spp=spp, seed=seed, max_depth=max_depth,
+            return_stats=return_stats,
+        )
     h, w = cfg.height, cfg.width
     rows = _chunk_rows(h, w)
     chunk = _chunk_spp(rows * w, spp)
@@ -585,10 +775,27 @@ def render(scene, spp=None, seed=0, integrator=None, max_depth=None,
     n_chan = 6 if (integrator or cfg.integrator) == "moment" else 3
     box = cfg.rfilter == "box"
 
-    pixel0 = jnp.repeat(
-        jnp.arange(rows * w, dtype=jnp.uint32), chunk,
-        total_repeat_length=rows * w * chunk,
+    # Lane ordering: 16x16 pixel blocks when the slab tiles evenly (a
+    # 2048-lane Pallas tile then covers a contiguous pixel patch, which is
+    # what makes the sort-free `coherent` primary-bounce kernels fast —
+    # ops/merl_sorted.eval_sorted docstring); row-major otherwise.
+    import numpy as _np
+
+    blocked = (
+        rows % _BLOCK == 0 and w % _BLOCK == 0 and rows * w * chunk >= _BLOCK
     )
+    if blocked:
+        order = _np.arange(rows * w, dtype=_np.uint32).reshape(
+            rows // _BLOCK, _BLOCK, w // _BLOCK, _BLOCK
+        ).transpose(0, 2, 1, 3).reshape(-1)
+        pixel0 = jnp.repeat(
+            jnp.asarray(order), chunk, total_repeat_length=rows * w * chunk
+        )
+    else:
+        pixel0 = jnp.repeat(
+            jnp.arange(rows * w, dtype=jnp.uint32), chunk,
+            total_repeat_length=rows * w * chunk,
+        )
     sidx_local = jnp.tile(jnp.arange(chunk, dtype=jnp.uint32), rows * w)
 
     def one_pass(row_pass, spp_pass):
@@ -604,10 +811,22 @@ def render(scene, spp=None, seed=0, integrator=None, max_depth=None,
             sample_idx=(
                 sidx_local + spp_pass.astype(jnp.uint32) * jnp.uint32(chunk)
             ),
+            # blocked ordering is kept (free, and groups each Pallas tile
+            # onto a pixel patch), but the sort-free coherent kernels stay
+            # OFF: measured on-chip, per-lane emitter sampling randomizes
+            # the NEE half and sorting doubles as dead-lane compaction, so
+            # the sorted path wins even at the primary bounce.
+            coherent0=False,
         )
         rays = jnp.sum(stats["rays_per_bounce"].astype(jnp.float32))
         if box:
-            return film_mod.develop_box(L, rows, w, chunk), None, rays
+            if blocked:
+                slab = film_mod.develop_box_blocked(
+                    L, rows, w, chunk, _BLOCK
+                )
+            else:
+                slab = film_mod.develop_box(L, rows, w, chunk)
+            return slab, None, rays
         img, wsum = film_mod.splat(
             L, film_xy, h, w, film_mod.FILTER_NAMES[cfg.rfilter]
         )

@@ -337,3 +337,88 @@ class TestSortedRenderEndToEnd:
         g = np.asarray(g)
         assert np.isfinite(g).all()
         assert np.abs(g).max() > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Round-4 sort plumbing: forced chunking, packed key+lane operand, coherent
+# (sort-free) mode — round-3 ADVICE item 1 + round-4 sort-tax work
+# ---------------------------------------------------------------------------
+
+
+class TestSortPlumbing:
+    def _inputs(self, rng, n=40000, n_mat=3, shape=(16, 16, 32, 3)):
+        tables = jnp.asarray(
+            rng.random((n_mat,) + shape), jnp.float32
+        )
+        wi, wo = _unit(rng, n, True), _unit(rng, n, True)
+        slot = jnp.asarray(rng.integers(0, n_mat, n), jnp.int32)
+        mask = jnp.asarray(rng.random(n) > 0.2)
+        return tables, wi, wo, slot, mask
+
+    def test_forced_chunking_matches_global(self, rng):
+        """SORT_CHUNK small enough that 40000 lanes chunk >= 8 ways."""
+        tables, wi, wo, slot, mask = self._inputs(rng)
+        ref = ms.eval_sorted(tables, wi, wo, slot=slot, mask=mask,
+                             interpret=True)
+        old = ms.SORT_CHUNK
+        ms.SORT_CHUNK = ms.TILE  # 40960 pad -> 20 chunks of 2048
+        try:
+            npad = ms._round_up(40000, ms.TILE)
+            assert ms._n_chunks(npad) >= 8, ms._n_chunks(npad)
+            got = ms.eval_sorted(tables, wi, wo, slot=slot, mask=mask,
+                                 interpret=True)
+        finally:
+            ms.SORT_CHUNK = old
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+    def test_packed_vs_fallback_operands(self, rng):
+        """The packed (key<<bits|lane) sort path == the 2-operand path."""
+        tables, wi, wo, slot, mask = self._inputs(rng)
+        ref = ms.eval_sorted(tables, wi, wo, slot=slot, mask=mask,
+                             interpret=True)
+        old = ms._pack_spec
+        ms._pack_spec = lambda *a: None  # force the unpacked fallback
+        try:
+            got = ms.eval_sorted(tables, wi, wo, slot=slot, mask=mask,
+                                 interpret=True)
+        finally:
+            ms._pack_spec = old
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+    def test_coherent_matches_sorted(self, rng):
+        tables, wi, wo, slot, mask = self._inputs(rng, n=5000)
+        ref = ms.eval_sorted(tables, wi, wo, slot=slot, mask=mask,
+                             interpret=True)
+        got = ms.eval_sorted(tables, wi, wo, slot=slot, mask=mask,
+                             interpret=True, coherent=True)
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+    def test_cond_sample_pdf_chunked_and_coherent(self, rng):
+        h, w, n_sl, n = 32, 64, 5, 40000
+        weights = jnp.asarray(rng.random((n_sl, h, w)) ** 2 + 1e-4,
+                              jnp.float32)
+        m2d = Marginal2D.build(weights)
+        condT = msamp.pack_condT(m2d.cdf_cond)
+        args = (
+            jnp.asarray(rng.integers(0, n_sl, n), jnp.int32),
+            jnp.asarray(rng.random(n), jnp.float32),
+            jnp.asarray(rng.integers(0, h, n), jnp.int32),
+            jnp.asarray(rng.integers(0, h, n), jnp.int32),
+            jnp.asarray(rng.integers(0, w, n), jnp.int32),
+            jnp.asarray(rng.integers(0, h, n), jnp.int32),
+            jnp.asarray(rng.integers(0, w, n), jnp.int32),
+            jnp.asarray(rng.random(n) > 0.2),
+        )
+        ref = msamp.cond_sample_pdf(condT, h, *args, interpret=True)
+        old = ms.SORT_CHUNK
+        ms.SORT_CHUNK = ms.TILE
+        try:
+            chunked = msamp.cond_sample_pdf(condT, h, *args, interpret=True)
+        finally:
+            ms.SORT_CHUNK = old
+        coh = msamp.cond_sample_pdf(condT, h, *args, interpret=True,
+                                    coherent=True)
+        for a, b in zip(chunked, ref):
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+        for a, b in zip(coh, ref):
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
