@@ -12,7 +12,11 @@ import jax.numpy as jnp
 # Match Mitsuba's epsilons (include/mitsuba/core/math.h).
 EPSILON = 1e-7
 RAY_EPSILON = 1e-4  # min-t offset used to avoid self-intersection
-ONE_MINUS_EPSILON = float(jnp.nextafter(jnp.float32(1.0), jnp.float32(0.0)))
+# numpy, not jnp: a jnp call here would initialize the JAX backend at
+# import time (seconds on a tunneled TPU) for a compile-time constant.
+import numpy as _np  # noqa: E402
+
+ONE_MINUS_EPSILON = float(_np.nextafter(_np.float32(1.0), _np.float32(0.0)))
 INF = float("inf")
 
 
