@@ -1,0 +1,601 @@
+"""Packet-style two-level cluster intersector — the TPU-native accel path.
+
+TPU counterpart of the reference's accelerated `Scene::ray_intersect`
+([S3] mitsuba3 src/render/scene_embree.inl / scene_optix.inl, SURVEY.md
+§2.3 L3). GPUs traverse per-ray BVHs with hardware stacks; a TPU has
+neither per-lane gathers nor divergent control flow, so per-lane node
+cursors (render/bvh.py lock-step skip links) pay an XLA gather per step —
+milliseconds per step at wavefront scale. This module restructures
+traversal around what the hardware does well, following the same design
+rule as the sorted-segment BRDF kernels (ops/merl_sorted.py): uniform
+tile-level control flow + dense vector math + scalar-indexed DMAs.
+
+Structure:
+
+* Host build (numpy): primitives are partitioned by recursive
+  widest-axis median split into spatially tight CLUSTERS of <= L=32
+  prims, emitted in DFS order (neighbors stay adjacent); every GROUP=16
+  consecutive clusters form a SUPERCLUSTER with a union AABB. Cluster
+  payloads (all per-prim fields) are packed into (C, 32, 128) f32 slabs.
+* Pallas kernel: the grid walks 2048-lane ray tiles. Each tile tests the
+  supercluster boxes (scalar loads from SMEM, dense VPU slab tests over
+  all lanes), descends into a group only when ANY lane's entry distance
+  beats its current best hit, then per surviving cluster DMAs the 16 KB
+  slab into VMEM (persistent single-slot cache across the sequential
+  grid) and runs a statically unrolled masked Moller-Trumbore /
+  sphere / cylinder loop over the 32 slots. This is classic packet
+  traversal at packet size 2048: lanes ride their tile's union of
+  visited clusters, so the render loop's blocked lane order (16x16
+  pixel blocks) is what makes it fast.
+* Winner payload: instead of a post-pass per-lane gather of 13 geometry
+  fields (the XLA gather costs ~3.8 ms/field at 2M lanes), the kernel
+  resolves the winning slot's full field row in-kernel with one
+  take_along_axis per field per improving cluster visit, and returns a
+  ready-made per-lane Geometry row — `interaction_from_g` consumes it
+  directly.
+
+Capacity contract: all cluster boxes live in SMEM and slabs stream from
+HBM, so scene size is bounded only by HBM (a 1M-prim scene is ~2 GB of
+slabs); SMEM bounds C_pad at ~8k clusters => ~256k prims. Larger scenes
+need a 3rd level (not yet built — render/scene.py falls back to the
+skip-link BVH).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mitsuba_customization_tpu.render import geometry as geo
+from mitsuba_customization_tpu.render.records import Ray
+
+LANE = 128
+TILE_ROWS = 16  # 2048 lanes per tile (matches render's 16x16 pixel blocks)
+TILE = TILE_ROWS * LANE
+
+L = 32       # prims per cluster (slab slot count)
+GROUP = 16   # clusters per supercluster
+
+# Field rows in a cluster slab (minor axis = slot, padded to LANE).
+_F_TYPE = 0            # prim_type (-1 = empty slot)
+_F_P0 = 1              # 1..3
+_F_E1 = 4              # 4..6
+_F_E2 = 7              # 7..9
+_F_VN0 = 10            # 10..12
+_F_VN1 = 13            # 13..15
+_F_VN2 = 16            # 16..18
+_F_UV0 = 19            # 19..20
+_F_UV1 = 21            # 21..22
+_F_UV2 = 23            # 23..24
+_F_MAT = 25
+_F_EMIT = 26
+_F_SHAPE = 27
+_F_PRIM = 28
+NFIELDS = 32           # rows per slab (padded to a DMA-friendly multiple)
+
+_BIG = 1e30
+
+# Capacity contract: cluster boxes live in SMEM (C_pad * 32 B). 8k
+# clusters of 32 prims => 256k primitives; past that render/scene.py
+# keeps the skip-link BVH.
+MAX_PRIMS = 8192 * L // 2  # median split halves may leave clusters ~L/2 full
+
+
+class ClusterSet(NamedTuple):
+    """Device-resident cluster acceleration structure.
+
+    sc_box:  (S, 8) f32 supercluster AABBs [min xyz, max xyz, pad, pad]
+    cl_box:  (C_pad, 8) f32 cluster AABBs (empty clusters = inverted box)
+    cl_meta: (C_pad,) i32 bit0 = cluster contains non-triangle prims
+    slabs:   (C_pad, NFIELDS, LANE) f32 packed per-prim fields
+    """
+
+    sc_box: jnp.ndarray
+    cl_box: jnp.ndarray
+    cl_meta: jnp.ndarray
+    slabs: jnp.ndarray
+
+    @property
+    def n_super(self):
+        return self.sc_box.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# Host-side build
+# ---------------------------------------------------------------------------
+
+
+def _partition(ids, bb_min, bb_max, out):
+    """Recursive widest-axis median split to <= L prims, DFS order."""
+    if len(ids) <= L:
+        out.append(ids)
+        return
+    c = 0.5 * (bb_min[ids] + bb_max[ids])
+    axis = int(np.argmax(c.max(0) - c.min(0)))
+    order = np.argsort(c[:, axis], kind="stable")
+    half = len(ids) // 2
+    _partition(ids[order[:half]], bb_min, bb_max, out)
+    _partition(ids[order[half:]], bb_min, bb_max, out)
+
+
+def build(geom: geo.Geometry) -> ClusterSet:
+    """Pack the primitive soup into the two-level cluster structure."""
+    g = jax.tree_util.tree_map(np.asarray, geom)
+    bb_min, bb_max = geo.aabbs(geom)
+    bb_min = np.asarray(bb_min, np.float64)
+    bb_max = np.asarray(bb_max, np.float64)
+    n = g.prim_type.shape[0]
+
+    clusters: list[np.ndarray] = []
+    _partition(np.arange(n, dtype=np.int64), bb_min, bb_max, clusters)
+
+    c_pad = max(GROUP, (len(clusters) + GROUP - 1) // GROUP * GROUP)
+    s_count = c_pad // GROUP
+
+    cl_box = np.zeros((c_pad, 8), np.float32)
+    cl_box[:, 0:3] = _BIG
+    cl_box[:, 3:6] = -_BIG
+    cl_meta = np.zeros((c_pad,), np.int32)
+    slabs = np.zeros((c_pad, NFIELDS, LANE), np.float32)
+    slabs[:, _F_TYPE, :] = -1.0
+
+    for ci, ids in enumerate(clusters):
+        cl_box[ci, 0:3] = bb_min[ids].min(0)
+        cl_box[ci, 3:6] = bb_max[ids].max(0)
+        cl_meta[ci] = int((g.prim_type[ids] != geo.TRI).any())
+        k = len(ids)
+        slabs[ci, _F_TYPE, :k] = g.prim_type[ids]
+        slabs[ci, _F_P0:_F_P0 + 3, :k] = g.p0[ids].T
+        slabs[ci, _F_E1:_F_E1 + 3, :k] = g.e1[ids].T
+        slabs[ci, _F_E2:_F_E2 + 3, :k] = g.e2[ids].T
+        slabs[ci, _F_VN0:_F_VN0 + 3, :k] = g.vn0[ids].T
+        slabs[ci, _F_VN1:_F_VN1 + 3, :k] = g.vn1[ids].T
+        slabs[ci, _F_VN2:_F_VN2 + 3, :k] = g.vn2[ids].T
+        slabs[ci, _F_UV0:_F_UV0 + 2, :k] = g.uv0[ids].T
+        slabs[ci, _F_UV1:_F_UV1 + 2, :k] = g.uv1[ids].T
+        slabs[ci, _F_UV2:_F_UV2 + 2, :k] = g.uv2[ids].T
+        slabs[ci, _F_MAT, :k] = g.mat_id[ids]
+        slabs[ci, _F_EMIT, :k] = g.emitter_id[ids]
+        slabs[ci, _F_SHAPE, :k] = g.shape_id[ids]
+        slabs[ci, _F_PRIM, :k] = ids
+
+    sc_box = np.zeros((s_count, 8), np.float32)
+    for s in range(s_count):
+        grp = cl_box[s * GROUP:(s + 1) * GROUP]
+        sc_box[s, 0:3] = grp[:, 0:3].min(0)
+        sc_box[s, 3:6] = grp[:, 3:6].max(0)
+
+    return ClusterSet(
+        sc_box=jnp.asarray(sc_box),
+        cl_box=jnp.asarray(cl_box),
+        cl_meta=jnp.asarray(cl_meta),
+        slabs=jnp.asarray(slabs),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernel helpers (run inside Pallas)
+# ---------------------------------------------------------------------------
+
+
+def _box_entry(box_ref, c, o, inv, t_best):
+    """Scalar-box vs lane-bundle slab test; returns (hit mask, t_entry)."""
+    near = None
+    far = None
+    for k in range(3):
+        lo = (box_ref[c, k] - o[k]) * inv[k]
+        hi = (box_ref[c, 3 + k] - o[k]) * inv[k]
+        tmin = jnp.minimum(lo, hi)
+        tmax = jnp.maximum(lo, hi)
+        near = tmin if near is None else jnp.maximum(near, tmin)
+        far = tmax if far is None else jnp.minimum(far, tmax)
+    hit = (near <= far) & (far > 0.0) & (near < t_best)
+    return hit, near
+
+
+def _tri_test(o, d, p0, e1, e2):
+    """Moller-Trumbore against one broadcast triangle. Returns (t, u, v)
+    with t = _BIG on miss (scalar prim data, lane-bundle rays)."""
+    px = d[1] * e2[2] - d[2] * e2[1]
+    py = d[2] * e2[0] - d[0] * e2[2]
+    pz = d[0] * e2[1] - d[1] * e2[0]
+    det = e1[0] * px + e1[1] * py + e1[2] * pz
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    tx = o[0] - p0[0]
+    ty = o[1] - p0[1]
+    tz = o[2] - p0[2]
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1[2] - tz * e1[1]
+    qy = tz * e1[0] - tx * e1[2]
+    qz = tx * e1[1] - ty * e1[0]
+    v = (d[0] * qx + d[1] * qy + d[2] * qz) * inv_det
+    t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
+    ok = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0)
+    )
+    return jnp.where(ok, t, _BIG), u, v
+
+
+def _sphere_test(o, d, c3, radius):
+    ox = o[0] - c3[0]
+    oy = o[1] - c3[1]
+    oz = o[2] - c3[2]
+    b = ox * d[0] + oy * d[1] + oz * d[2]
+    cc = ox * ox + oy * oy + oz * oz - radius * radius
+    disc = b * b - cc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -b - sq
+    t1 = -b + sq
+    t = jnp.where(t0 > 1e-7, t0, t1)
+    ok = (disc >= 0.0) & (t > 1e-7)
+    return jnp.where(ok, t, _BIG)
+
+
+def _cyl_test(o, d, p0, axis3, radius):
+    ax, ay, az = axis3
+    length = jnp.sqrt(jnp.maximum(ax * ax + ay * ay + az * az, 1e-24))
+    nx, ny, nz = ax / length, ay / length, az / length
+    ocx = o[0] - p0[0]
+    ocy = o[1] - p0[1]
+    ocz = o[2] - p0[2]
+    d_par = d[0] * nx + d[1] * ny + d[2] * nz
+    oc_par = ocx * nx + ocy * ny + ocz * nz
+    ddx = d[0] - d_par * nx
+    ddy = d[1] - d_par * ny
+    ddz = d[2] - d_par * nz
+    oox = ocx - oc_par * nx
+    ooy = ocy - oc_par * ny
+    ooz = ocz - oc_par * nz
+    qa = ddx * ddx + ddy * ddy + ddz * ddz
+    qb = ddx * oox + ddy * ooy + ddz * ooz
+    qc = oox * oox + ooy * ooy + ooz * ooz - radius * radius
+    disc = qb * qb - qa * qc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inv_a = 1.0 / jnp.where(qa < 1e-12, 1e-12, qa)
+    t0 = (-qb - sq) * inv_a
+    t1 = (-qb + sq) * inv_a
+
+    def on_seg(t):
+        s = oc_par + t * d_par
+        return (t > 1e-7) & (s >= 0.0) & (s <= length)
+
+    ok0 = on_seg(t0)
+    ok1 = on_seg(t1)
+    t = jnp.where(ok0, t0, jnp.where(ok1, t1, _BIG))
+    ok = (disc >= 0.0) & (qa > 1e-12) & (ok0 | ok1)
+    return jnp.where(ok, t, _BIG)
+
+
+def _slot_tests(slab, o, d):
+    """Statically unrolled masked tests over all L slots of the resident
+    slab (generic: tri + sphere + cylinder per slot). Returns the
+    per-lane best (t, slot, u, v) within this cluster."""
+    t_c = jnp.full(o[0].shape, _BIG)
+    u_c = jnp.zeros_like(t_c)
+    v_c = jnp.zeros_like(t_c)
+    slot_c = jnp.full(o[0].shape, -1, jnp.int32)
+    for i in range(L):
+        typ = slab[_F_TYPE, i]
+        p0 = (slab[_F_P0, i], slab[_F_P0 + 1, i], slab[_F_P0 + 2, i])
+        e1 = (slab[_F_E1, i], slab[_F_E1 + 1, i], slab[_F_E1 + 2, i])
+        e2 = (slab[_F_E2, i], slab[_F_E2 + 1, i], slab[_F_E2 + 2, i])
+        t_i, u_i, v_i = _tri_test(o, d, p0, e1, e2)
+        t_i = jnp.where(typ == float(geo.TRI), t_i, _BIG)
+        t_s = _sphere_test(o, d, p0, e1[0])
+        t_y = _cyl_test(o, d, p0, e1, e2[0])
+        t_i = jnp.where(typ == float(geo.SPHERE), t_s, t_i)
+        t_i = jnp.where(typ == float(geo.CYLINDER), t_y, t_i)
+        u_i = jnp.where(typ == float(geo.TRI), u_i, 0.0)
+        v_i = jnp.where(typ == float(geo.TRI), v_i, 0.0)
+
+        closer = t_i < t_c
+        t_c = jnp.where(closer, t_i, t_c)
+        u_c = jnp.where(closer, u_i, u_c)
+        v_c = jnp.where(closer, v_i, v_c)
+        slot_c = jnp.where(closer, i, slot_c)
+    return t_c, slot_c, u_c, v_c
+
+
+def _slot_tests_tri_only(slab, o, d):
+    """Triangle-only unrolled slot loop (the fast path for mesh clusters)."""
+    t_c = jnp.full(o[0].shape, _BIG)
+    u_c = jnp.zeros_like(t_c)
+    v_c = jnp.zeros_like(t_c)
+    slot_c = jnp.full(o[0].shape, -1, jnp.int32)
+    for i in range(L):
+        typ = slab[_F_TYPE, i]
+        p0 = (slab[_F_P0, i], slab[_F_P0 + 1, i], slab[_F_P0 + 2, i])
+        e1 = (slab[_F_E1, i], slab[_F_E1 + 1, i], slab[_F_E1 + 2, i])
+        e2 = (slab[_F_E2, i], slab[_F_E2 + 1, i], slab[_F_E2 + 2, i])
+        t_i, u_i, v_i = _tri_test(o, d, p0, e1, e2)
+        t_i = jnp.where(typ == float(geo.TRI), t_i, _BIG)
+        closer = t_i < t_c
+        t_c = jnp.where(closer, t_i, t_c)
+        u_c = jnp.where(closer, u_i, u_c)
+        v_c = jnp.where(closer, v_i, v_c)
+        slot_c = jnp.where(closer, i, slot_c)
+    return t_c, slot_c, u_c, v_c
+
+
+# ---------------------------------------------------------------------------
+# Closest-hit kernel
+# ---------------------------------------------------------------------------
+
+# Output rows: 0 t, 1 u, 2 v, 3..3+NFIELDS-1 winner slab fields.
+OUT_ROWS = 3 + NFIELDS
+
+
+def _closest_kernel(n_super, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                    maxt_ref, scb_ref, clb_ref, meta_ref, slabs_ref,
+                    out_ref, slab, cache_ref, sem):
+    o = (ox_ref[:], oy_ref[:], oz_ref[:])
+    d = (dx_ref[:], dy_ref[:], dz_ref[:])
+    inv = tuple(
+        1.0 / jnp.where(jnp.abs(c) < 1e-12, 1e-12, c) for c in d
+    )
+    maxt = maxt_ref[:]
+    active = maxt > 0.0
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cache_ref[0] = -1
+
+    # init: t = maxt (so near-plane-capped rays prune correctly); dead
+    # lanes t = 0 so every box test fails instantly.
+    out_ref[0] = jnp.where(active, jnp.minimum(maxt, _BIG), 0.0)
+    out_ref[1] = jnp.zeros_like(maxt)
+    out_ref[2] = jnp.zeros_like(maxt)
+    for f in range(NFIELDS):
+        fill = -1.0 if f in (_F_TYPE, _F_MAT, _F_EMIT, _F_SHAPE, _F_PRIM) \
+            else 0.0
+        out_ref[3 + f] = jnp.full_like(maxt, fill)
+    # mat_id must be a valid index even on miss (dispatch masks on valid)
+    out_ref[3 + _F_MAT] = jnp.zeros_like(maxt)
+
+    def visit_cluster(c, carry):
+        t_best = out_ref[0]
+        hit, _t_in = _box_entry(clb_ref, c, o, inv, t_best)
+
+        @pl.when(jnp.any(hit))
+        def _():
+            @pl.when(cache_ref[0] != c)
+            def _():
+                cp = pltpu.make_async_copy(slabs_ref.at[c], slab, sem)
+                cp.start()
+                cp.wait()
+                cache_ref[0] = c
+
+            # Tri-only clusters (the common case for mesh scenes) skip
+            # the sphere/cylinder slot math entirely.
+            t_c, slot_c, u_c, v_c = jax.lax.cond(
+                meta_ref[c] != 0,
+                lambda: _slot_tests(slab, o, d),
+                lambda: _slot_tests_tri_only(slab, o, d),
+            )
+            improved = hit & (t_c < out_ref[0])
+            out_ref[0] = jnp.where(improved, t_c, out_ref[0])
+            out_ref[1] = jnp.where(improved, u_c, out_ref[1])
+            out_ref[2] = jnp.where(improved, v_c, out_ref[2])
+            idx = jnp.clip(slot_c, 0, LANE - 1)
+            for f in range(NFIELDS):
+                seg = jnp.broadcast_to(
+                    slab[f, :][None, :], (TILE_ROWS, LANE)
+                )
+                got = jnp.take_along_axis(seg, idx, axis=1)
+                out_ref[3 + f] = jnp.where(improved, got, out_ref[3 + f])
+        return 0
+
+    def visit_super(s, carry):
+        t_best = out_ref[0]
+        hit, _ = _box_entry(scb_ref, s, o, inv, t_best)
+
+        @pl.when(jnp.any(hit))
+        def _():
+            jax.lax.fori_loop(
+                s * GROUP, (s + 1) * GROUP, visit_cluster, 0,
+                unroll=False,
+            )
+        return 0
+
+    jax.lax.fori_loop(0, n_super, visit_super, 0, unroll=False)
+
+    # misses: restore t = +inf semantics
+    missed = out_ref[3 + _F_PRIM] < 0.0
+    out_ref[0] = jnp.where(missed, _BIG, out_ref[0])
+
+
+def _shadow_kernel(n_super, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                   maxt_ref, scb_ref, clb_ref, meta_ref, slabs_ref,
+                   hit_ref, slab, cache_ref, sem):
+    """Any-hit variant: hit_ref (TILE_ROWS, LANE) f32 1.0 = occluded.
+    A lane that finds any hit drops out of further box tests; the tile
+    skips whole groups once every live lane is resolved."""
+    o = (ox_ref[:], oy_ref[:], oz_ref[:])
+    d = (dx_ref[:], dy_ref[:], dz_ref[:])
+    inv = tuple(1.0 / jnp.where(jnp.abs(c) < 1e-12, 1e-12, c) for c in d)
+    maxt = maxt_ref[:]
+    active = maxt > 0.0
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cache_ref[0] = -1
+
+    hit_ref[:] = jnp.zeros_like(maxt)
+
+    def visit_cluster(c, _):
+        live = active & (hit_ref[:] == 0.0)
+        t_cap = jnp.where(live, maxt, 0.0)
+        boxhit, _ = _box_entry(clb_ref, c, o, inv, t_cap)
+
+        @pl.when(jnp.any(boxhit))
+        def _():
+            @pl.when(cache_ref[0] != c)
+            def _():
+                cp = pltpu.make_async_copy(slabs_ref.at[c], slab, sem)
+                cp.start()
+                cp.wait()
+                cache_ref[0] = c
+
+            t_c, _slot, _u, _v = jax.lax.cond(
+                meta_ref[c] != 0,
+                lambda: _slot_tests(slab, o, d),
+                lambda: _slot_tests_tri_only(slab, o, d),
+            )
+            occ = boxhit & (t_c < maxt)
+            hit_ref[:] = jnp.where(occ, 1.0, hit_ref[:])
+        return 0
+
+    def visit_super(s, carry):
+        live = active & (hit_ref[:] == 0.0)
+        t_cap = jnp.where(live, maxt, 0.0)
+        boxhit, _ = _box_entry(scb_ref, s, o, inv, t_cap)
+
+        @pl.when(jnp.any(boxhit))
+        def _():
+            jax.lax.fori_loop(
+                s * GROUP, (s + 1) * GROUP, visit_cluster, 0,
+                unroll=False,
+            )
+        return 0
+
+    jax.lax.fori_loop(0, n_super, visit_super, 0, unroll=False)
+
+
+# ---------------------------------------------------------------------------
+# Launch wrappers
+# ---------------------------------------------------------------------------
+
+
+def _pad_rays(ray: Ray):
+    n = ray.o.shape[0]
+    npad = max(TILE, (n + TILE - 1) // TILE * TILE)
+    pad = npad - n
+    o = jnp.pad(ray.o, ((0, pad), (0, 0)))
+    d = jnp.pad(ray.d, ((0, pad), (0, 0)), constant_values=1.0)
+    maxt = jnp.pad(
+        jnp.broadcast_to(ray.maxt, (n,)), (0, pad), constant_values=0.0
+    )
+    # inf maxt upsets the t-init; clamp to _BIG (same pruning semantics)
+    maxt = jnp.minimum(maxt, _BIG)
+    return o, d, maxt, n, npad
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _closest_impl(cs: ClusterSet, rays, interpret):
+    o, d, maxt = rays
+    npad = o.shape[0]
+    shape2 = (npad // LANE, LANE)
+    grid = (npad // TILE,)
+    lane_spec = pl.BlockSpec(
+        (TILE_ROWS, LANE), lambda t: (t, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (OUT_ROWS, TILE_ROWS, LANE), lambda t: (0, t, 0),
+        memory_space=pltpu.VMEM,
+    )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    kernel = functools.partial(_closest_kernel, cs.n_super)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (OUT_ROWS, npad // LANE, LANE), jnp.float32
+        ),
+        grid=grid,
+        in_specs=[lane_spec] * 7 + [smem(), smem(), smem(),
+                                    pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((NFIELDS, LANE), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        o[:, 0].reshape(shape2), o[:, 1].reshape(shape2),
+        o[:, 2].reshape(shape2),
+        d[:, 0].reshape(shape2), d[:, 1].reshape(shape2),
+        d[:, 2].reshape(shape2),
+        maxt.reshape(shape2),
+        cs.sc_box, cs.cl_box, cs.cl_meta, cs.slabs,
+    )
+    return out.reshape(OUT_ROWS, npad)
+
+
+def intersect(cs: ClusterSet, ray: Ray, interpret=False):
+    """Closest-hit query. Returns (t, prim, u, v, g) where g is a per-lane
+    Geometry row pytree (winner fields resolved in-kernel — no post-pass
+    gather). t = +inf and prim = -1 on miss."""
+    o, d, maxt, n, npad = _pad_rays(ray)
+    out = _closest_impl(cs, (o, d, maxt), interpret)
+    t = out[0, :n]
+    u = out[1, :n]
+    v = out[2, :n]
+    fld = out[3:, :n]
+    prim = fld[_F_PRIM].astype(jnp.int32)
+    miss = prim < 0
+    t = jnp.where(miss, jnp.inf, t)
+    g = geo.Geometry(
+        prim_type=fld[_F_TYPE].astype(jnp.int32),
+        p0=jnp.stack([fld[_F_P0 + k] for k in range(3)], axis=-1),
+        e1=jnp.stack([fld[_F_E1 + k] for k in range(3)], axis=-1),
+        e2=jnp.stack([fld[_F_E2 + k] for k in range(3)], axis=-1),
+        vn0=jnp.stack([fld[_F_VN0 + k] for k in range(3)], axis=-1),
+        vn1=jnp.stack([fld[_F_VN1 + k] for k in range(3)], axis=-1),
+        vn2=jnp.stack([fld[_F_VN2 + k] for k in range(3)], axis=-1),
+        uv0=jnp.stack([fld[_F_UV0 + k] for k in range(2)], axis=-1),
+        uv1=jnp.stack([fld[_F_UV1 + k] for k in range(2)], axis=-1),
+        uv2=jnp.stack([fld[_F_UV2 + k] for k in range(2)], axis=-1),
+        mat_id=jnp.maximum(fld[_F_MAT], 0.0).astype(jnp.int32),
+        emitter_id=fld[_F_EMIT].astype(jnp.int32),
+        shape_id=jnp.maximum(fld[_F_SHAPE], 0.0).astype(jnp.int32),
+    )
+    return t, prim, u, v, g
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _shadow_impl(cs: ClusterSet, rays, interpret):
+    o, d, maxt = rays
+    npad = o.shape[0]
+    shape2 = (npad // LANE, LANE)
+    grid = (npad // TILE,)
+    lane_spec = pl.BlockSpec(
+        (TILE_ROWS, LANE), lambda t: (t, 0), memory_space=pltpu.VMEM
+    )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    kernel = functools.partial(_shadow_kernel, cs.n_super)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(shape2, jnp.float32),
+        grid=grid,
+        in_specs=[lane_spec] * 7 + [smem(), smem(), smem(),
+                                    pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=lane_spec,
+        scratch_shapes=[
+            pltpu.VMEM((NFIELDS, LANE), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        o[:, 0].reshape(shape2), o[:, 1].reshape(shape2),
+        o[:, 2].reshape(shape2),
+        d[:, 0].reshape(shape2), d[:, 1].reshape(shape2),
+        d[:, 2].reshape(shape2),
+        maxt.reshape(shape2),
+        cs.sc_box, cs.cl_box, cs.cl_meta, cs.slabs,
+    )
+    return out.reshape(npad)
+
+
+def occluded(cs: ClusterSet, ray: Ray, interpret=False):
+    """Any-hit query (Scene::ray_test)."""
+    o, d, maxt, n, npad = _pad_rays(ray)
+    hit = _shadow_impl(cs, (o, d, maxt), interpret)
+    return hit[:n] > 0.5

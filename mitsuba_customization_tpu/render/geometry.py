@@ -196,6 +196,14 @@ def compute_interaction(geom: Geometry, ray: Ray, t, prim, u, v):
     # 5-row table (round-3 trace) — this was the largest non-sort cost of
     # the whole bounce.
     g = gather_tree(geom, safe)
+    return interaction_from_g(g, ray, t, prim, u, v)
+
+
+def interaction_from_g(g: Geometry, ray: Ray, t, prim, u, v):
+    """SurfaceInteraction from per-lane winner Geometry rows `g`.
+
+    The cluster intersector (ops/clusters.py) resolves winner fields
+    in-kernel and calls this directly, skipping the per-lane gather."""
     valid = prim >= 0
 
     p = ray.o + ray.d * jnp.where(valid, t, 0.0)[..., None]

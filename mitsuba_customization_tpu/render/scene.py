@@ -81,6 +81,11 @@ class SceneConfig:
     sampler: str = "independent"
     rfilter: str = "box"
     use_bvh: bool = False
+    # Intersector: "brute" (all-pairs), "bvh" (lock-step skip links), or
+    # "cluster" (ops/clusters.py packet kernel — the TPU production path).
+    # "cluster" falls back to bvh when tracing on a CPU backend (the
+    # Pallas kernel needs a TPU; tests force it via interpret mode).
+    intersector: str = "brute"
     hide_emitters: bool = False
     sensor_scale: float = 1.0  # radiance -> measurement (irradiancemeter pi)
     # Per-bounce wavefront-compaction fraction schedule (None = off):
@@ -106,11 +111,32 @@ class Scene:
     sensor: sensor_mod.Sensor
     media: medium_mod.MediumTable
     shadow_geometry: Optional[geo.Geometry]
-    config: SceneConfig = dataclasses.field(metadata=dict(static=True))
+    clusters: object = None          # ops/clusters.ClusterSet or None
+    shadow_clusters: object = None
+    config: SceneConfig = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+
+    def _mode(self):
+        mode = self.config.intersector
+        if mode == "cluster" and (
+            self.clusters is None or jax.default_backend() == "cpu"
+        ):
+            return "bvh" if self.config.use_bvh else "brute"
+        return mode
 
     def ray_intersect(self, ray):
         """Scene::ray_intersect — nearest hit -> SurfaceInteraction."""
-        if self.config.use_bvh:
+        mode = self._mode()
+        if mode == "cluster":
+            from mitsuba_customization_tpu.ops import clusters as cl_mod
+
+            # intersections are always detached (geometry gradients out
+            # of contract — render/integrator.py)
+            ray = jax.tree_util.tree_map(jax.lax.stop_gradient, ray)
+            t, prim, u, v, g = cl_mod.intersect(self.clusters, ray)
+            return geo.interaction_from_g(g, ray, t, prim, u, v)
+        if mode == "bvh":
             t, prim, u, v = bvh_mod.intersect(self.bvh, self.geometry, ray)
         else:
             t, prim, u, v = geo.intersect_brute(self.geometry, ray)
@@ -123,12 +149,23 @@ class Scene:
         squashed to degenerate prims in shadow_geometry (mitsuba3's shadow
         rays likewise pass through null BSDFs in volpath).
         """
+        mode = self._mode()
+        if mode == "cluster":
+            from mitsuba_customization_tpu.ops import clusters as cl_mod
+
+            ray = jax.tree_util.tree_map(jax.lax.stop_gradient, ray)
+            cs = (
+                self.shadow_clusters
+                if self.shadow_clusters is not None
+                else self.clusters
+            )
+            return cl_mod.occluded(cs, ray)
         g = (
             self.shadow_geometry
             if self.shadow_geometry is not None
             else self.geometry
         )
-        if self.config.use_bvh:
+        if mode == "bvh":
             return bvh_mod.occluded(self.bvh, g, ray)
         return geo.occluded_brute(g, ray)
 
@@ -1004,9 +1041,11 @@ def load_dict(d: dict) -> Scene:
             lambda *xs: jnp.asarray(np.stack(xs)), *plist
         )
     if tab_tables:
-        kernel_stacks[bsdf_mod.TABULATED] = TabulatedBRDF.build_stack(
-            jnp.asarray(np.stack(tab_tables))
-        )
+        # jitted: eagerly this is hundreds of per-op dispatches over
+        # multi-MB CDF tensors — minutes through a tunneled TPU backend
+        kernel_stacks[bsdf_mod.TABULATED] = jax.jit(
+            TabulatedBRDF.build_stack
+        )(jnp.asarray(np.stack(tab_tables)))
     if texture_rows:
         kernel_stacks[bsdf_mod.TEXTURED_DIFFUSE] = tex_mod.build_stack(
             texture_rows
@@ -1072,6 +1111,17 @@ def load_dict(d: dict) -> Scene:
             )
     cfg.use_bvh = gb.count > BRUTE_FORCE_MAX_PRIMS
     tree = bvh_mod.build(geometry) if cfg.use_bvh else _dummy_bvh()
+    # The cluster packet kernel is the TPU production intersector for any
+    # scene past the brute-force threshold (within its SMEM capacity
+    # contract); Scene._mode falls back to the BVH on CPU backends.
+    from mitsuba_customization_tpu.ops import clusters as cl_mod
+
+    cluster_set = None
+    if cfg.use_bvh and gb.count <= cl_mod.MAX_PRIMS:
+        cfg.intersector = "cluster"
+        cluster_set = cl_mod.build(geometry)
+    elif cfg.use_bvh:
+        cfg.intersector = "bvh"
 
     media = medium_mod.build_table(media_rows, shape_interior, shape_count)
 
@@ -1095,6 +1145,12 @@ def load_dict(d: dict) -> Scene:
         sensor=sensor,
         media=media,
         shadow_geometry=shadow_geom,
+        clusters=cluster_set,
+        shadow_clusters=(
+            cl_mod.build(shadow_geom)
+            if (shadow_geom is not None and cluster_set is not None)
+            else None
+        ),
         config=cfg,
     )
 
