@@ -80,12 +80,8 @@ def _probe_compact_schedule(scene, spp=8):
     return dataclasses.replace(scene, config=cfg), fracs
 
 
-def main():
-    res = 512
-    spp = 64
-    depth = 4
-    scene = _flagship_scene(res=res, spp=spp, depth=depth)
-    scene, compact_fracs = _probe_compact_schedule(scene)
+def _measure(scene, spp, n_iter=5):
+    """rays/s of `scene` at `spp` (jitted, warm, completion-forced)."""
 
     @jax.jit
     def run(scene, seed):
@@ -98,7 +94,6 @@ def main():
     s, rays = run(scene, jnp.uint32(0))
     float(s)
 
-    n_iter = 5
     t0 = time.perf_counter()
     total_rays = 0.0
     for i in range(n_iter):
@@ -106,8 +101,17 @@ def main():
         float(s)  # forces completion
         total_rays += float(rays)
     dt = time.perf_counter() - t0
+    return total_rays / dt
 
-    rays_per_s = total_rays / dt
+
+def main():
+    # Config A — flagship (3 analytic prims, MERL+GGX, depth 4): the
+    # round-1..3 headline series, kept for comparability.
+    spp = 64
+    scene = _flagship_scene(res=512, spp=spp, depth=4)
+    scene, compact_fracs = _probe_compact_schedule(scene)
+    rays_per_s = _measure(scene, spp)
+
     record = {
         "metric": "rays_per_second_single_chip",
         "value": rays_per_s,
@@ -116,6 +120,26 @@ def main():
         "baseline_note": BASELINE_NOTE,
         "compact_schedule": [round(f, 4) for f in compact_fracs],
     }
+
+    # Config B — configs[4]-class matpreview mesh scene (20k-tri blob, 10
+    # MERL materials, GGX floor, area light, 8-bounce): BVH/cluster
+    # traversal on the hot path (the BASELINE.json "metric" workload).
+    try:
+        from __graft_entry__ import _matpreview_scene
+
+        mp_spp = 16
+        mp = _matpreview_scene(res=512, spp=mp_spp, depth=8, n_sub=5)
+        mp, mp_fracs = _probe_compact_schedule(mp, spp=4)
+        record["matpreview"] = {
+            "rays_per_s": _measure(mp, mp_spp, n_iter=3),
+            "n_prims": int(mp.geometry.n_prims),
+            "intersector": mp.config.intersector,
+            "max_depth": 8,
+            "compact_schedule": [round(f, 4) for f in mp_fracs],
+        }
+    except Exception as e:  # never lose the headline number
+        record["matpreview"] = {"error": repr(e)[:300]}
+
     scaling = _scaling_subprocess()
     if scaling is not None:
         record["scaling"] = scaling

@@ -1,4 +1,5 @@
-"""Emitters: area, constant, envmap, point, spot, directional.
+"""Emitters: area, constant, envmap, point, spot, directional,
+directionalarea, projector.
 
 TPU-native counterpart of mitsuba3 src/emitters/ (SURVEY.md §2.4) plus the
 scene-level emitter sampling of src/render/scene.cpp
@@ -37,8 +38,10 @@ ENVMAP = 2
 POINT = 3
 SPOT = 4
 DIRECTIONAL = 5
+DIRECTIONALAREA = 6   # collimated area source (mitsuba3 directionalarea.cpp)
+PROJECTOR = 7         # textured perspective point source (projector.cpp)
 
-DELTA_EMITTERS = (POINT, SPOT, DIRECTIONAL)
+DELTA_EMITTERS = (POINT, SPOT, DIRECTIONAL, DIRECTIONALAREA, PROJECTOR)
 
 INV_FOUR_PI = 1.0 / (4.0 * jnp.pi)
 
@@ -66,6 +69,11 @@ class EmitterTable(NamedTuple):
     env_to_world: jnp.ndarray  # (3, 3) rotation
     env_index: jnp.ndarray  # () int32: emitter id of the envmap, -1 if none
     background_index: jnp.ndarray  # () int32: constant emitter id, -1 if none
+    em_prim_emitter: jnp.ndarray = None  # (Q,) int32 owning emitter per q
+    proj_image: jnp.ndarray = None  # (H, W, 3) projector texture (1x1 if none)
+    proj_to_world: jnp.ndarray = None  # (3, 3) columns = right/up/forward
+    proj_tan: jnp.ndarray = None  # () tan(fov_x / 2)
+    proj_index: jnp.ndarray = None  # () int32 projector emitter id, -1 none
 
     @property
     def n_emitters(self):
@@ -322,8 +330,84 @@ def sample_direction(
         jnp.ones_like(mask_dir),
     )
 
+    # ---- directionalarea (collimated area source) ----
+    # Emits only along the authored surface normal; from p_ref the light
+    # arrives from d = -n_em iff p_ref projects onto the emitting surface
+    # along n_em (planar/mesh emitter shapes — scene build stores the
+    # mean authored prim normal in `direction`).
+    mask_da = et == DIRECTIONALAREA
+    if table.em_prim_emitter is not None:
+        d_da = -take_rows(table.direction, k)
+        geom_q = jax.tree_util.tree_map(
+            lambda a: a[table.em_prims], geom
+        )
+        t_q, _, _ = geo._intersect_prims(
+            geom_q, p_ref[..., None, :], d_da[..., None, :]
+        )
+        owned = table.em_prim_emitter[None, :] == k[..., None]
+        t_q = jnp.where(owned, t_q, jnp.inf)
+        t_hit = jnp.min(t_q, axis=-1)
+        on_beam = jnp.isfinite(t_hit)
+        put(
+            mask_da,
+            d_da,
+            jnp.where(on_beam, t_hit, jnp.inf),
+            jnp.where(on_beam, 1.0, 0.0),
+            take_rows(table.radiance, k),
+            jnp.ones_like(mask_da),
+        )
+
+    # ---- projector (textured perspective point source) ----
+    mask_proj = et == PROJECTOR
+    if table.proj_index is not None:
+        # direction/distance identical to the point branch (d_p, pdist)
+        dl = (-d_p) @ table.proj_to_world  # local: x right, y up, z fwd
+        z = jnp.maximum(dl[..., 2], 1e-12)
+        x = dl[..., 0] / z
+        y = dl[..., 1] / z
+        img = table.proj_image
+        aspect = img.shape[1] / img.shape[0]
+        tx = table.proj_tan
+        ty = tx / aspect
+        inside = (dl[..., 2] > 0) & (jnp.abs(x) <= tx) & (jnp.abs(y) <= ty)
+        uv = jnp.stack(
+            [0.5 - y / ty * 0.5, x / tx * 0.5 + 0.5], axis=-1
+        )  # (row from top, col)
+        tex = _bilinear_lookup(img, uv)
+        rad_pr = (
+            tex * take_rows(table.radiance, k) / pdist2[..., None]
+            * inside[..., None]
+        )
+        put(
+            mask_proj,
+            d_p,
+            pdist,
+            jnp.ones_like(pdist),
+            rad_pr,
+            jnp.ones_like(mask_proj),
+        )
+
     return DirectionSample(
         d=out_d, dist=out_dist, pdf=out_pdf, radiance=out_rad, delta=out_delta
+    )
+
+
+def _bilinear_lookup(img, uv):
+    """uv (..., 2) = (row in [0,1], col in [0,1]) clamped bilinear fetch."""
+    h, w = img.shape[0], img.shape[1]
+    y = jnp.clip(uv[..., 0] * h - 0.5, 0.0, h - 1.0)
+    x = jnp.clip(uv[..., 1] * w - 0.5, 0.0, w - 1.0)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    fy = (y - y0)[..., None]
+    fx = (x - x0)[..., None]
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    c00, c01 = img[y0, x0], img[y0, x1]
+    c10, c11 = img[y1, x0], img[y1, x1]
+    return (
+        (c00 * (1 - fx) + c01 * fx) * (1 - fy)
+        + (c10 * (1 - fx) + c11 * fx) * fy
     )
 
 

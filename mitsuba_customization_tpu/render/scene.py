@@ -440,7 +440,8 @@ def _unit_disk(segments=32):
 
 _SHAPE_TYPES = {"sphere", "obj", "ply", "serialized", "mesh", "rectangle",
                 "cube", "disk", "cylinder", "instance"}
-_EMITTER_TYPES = {"constant", "envmap", "point", "spot", "directional"}
+_EMITTER_TYPES = {"constant", "envmap", "point", "spot", "directional",
+                  "projector"}
 _MEDIUM_TYPES = {"homogeneous", "heterogeneous"}
 _PHASE_TYPES = {
     "isotropic": phase_mod.ISOTROPIC,
@@ -805,6 +806,10 @@ def load_dict(d: dict) -> Scene:
     env_to_world = np.eye(3, dtype=np.float32)
     env_row = -1
     const_row = -1
+    proj_image = None
+    proj_frame = np.eye(3, dtype=np.float32)
+    proj_tan = 1.0
+    proj_row = -1
 
     def add_emitter(etype, **kw) -> int:
         em_rows.append(dict(type=etype, **kw))
@@ -827,10 +832,14 @@ def load_dict(d: dict) -> Scene:
         emitter_id = -1
         if "emitter" in val:
             espec = val["emitter"]
-            if espec.get("type") != "area":
-                raise ValueError("shape emitters must have type='area'")
+            etype_name = espec.get("type")
+            if etype_name not in ("area", "directionalarea"):
+                raise ValueError(
+                    "shape emitters must be 'area' or 'directionalarea'"
+                )
             emitter_id = add_emitter(
-                em_mod.AREA,
+                em_mod.AREA if etype_name == "area"
+                else em_mod.DIRECTIONALAREA,
                 radiance=resolve_spectrum(espec.get("radiance", [1, 1, 1])),
             )
         prim_start = gb.count
@@ -871,6 +880,14 @@ def load_dict(d: dict) -> Scene:
                 from mitsuba_customization_tpu.utils.ply import read_ply
 
                 v, f, n, uv = read_ply(val["filename"])
+            elif t == "serialized":
+                from mitsuba_customization_tpu.utils.serialized import (
+                    read_serialized,
+                )
+
+                v, f, n, uv = read_serialized(
+                    val["filename"], int(val.get("shape_index", 0))
+                )
             elif t == "mesh":
                 v = np.asarray(val["vertices"], np.float32)
                 f = np.asarray(val["faces"], np.int32)
@@ -898,6 +915,20 @@ def load_dict(d: dict) -> Scene:
             )
         if emitter_id >= 0:
             emissive_prim_ranges.append((emitter_id, prim_start, gb.count))
+            if em_rows[emitter_id]["type"] == em_mod.DIRECTIONALAREA:
+                # collimation direction = mean authored prim normal
+                # (planar/mesh emitter shapes; spheres have no single normal)
+                e1s = np.concatenate(gb.rows["e1"])[prim_start:gb.count]
+                e2s = np.concatenate(gb.rows["e2"])[prim_start:gb.count]
+                tps = np.concatenate(gb.rows["prim_type"])[prim_start:gb.count]
+                if (tps != geo.TRI).any():
+                    raise ValueError(
+                        "directionalarea requires a triangle-mesh shape"
+                    )
+                nrm = np.cross(e1s, e2s).mean(0)
+                em_rows[emitter_id]["direction"] = (
+                    nrm / max(np.linalg.norm(nrm), 1e-12)
+                )
         # interior participating medium (mitsuba3 <medium name="interior">)
         shape_interior.append(
             compile_medium(val["interior"]) if "interior" in val else -1
@@ -936,6 +967,37 @@ def load_dict(d: dict) -> Scene:
             cfg.hide_emitters = bool(val.get("hide_emitters", False))
             if "compact" in val and val["compact"] is not None:
                 cfg.compact = tuple(float(f) for f in val["compact"])
+            continue
+        if t == "batch":
+            # mitsuba3 src/sensors/batch.cpp: child sensors render into
+            # vertical film strips (render/sensors.py sample_ray).
+            film = val.get("film", {})
+            cfg.width = int(film.get("width", cfg.width))
+            cfg.height = int(film.get("height", cfg.height))
+            samp = val.get("sampler", {})
+            cfg.sampler = samp.get("type", cfg.sampler)
+            cfg.spp = int(samp.get("sample_count", cfg.spp))
+            kids = [
+                sensor_mod.make_sensor(
+                    sensor_type=sub.get("type", "perspective"),
+                    to_world=_as_transform(sub.get("to_world")),
+                    fov_x=float(sub.get("fov", 45.0)),
+                    aperture_radius=float(sub.get("aperture_radius", 0.0)),
+                    focus_distance=float(sub.get("focus_distance", 1.0)),
+                    near_clip=float(sub.get("near_clip", 1e-3)),
+                    ortho_scale=float(sub.get("ortho_scale", 1.0)),
+                )
+                for sub in val.values()
+                if isinstance(sub, dict)
+                and sub.get("type") in ("perspective", "thinlens",
+                                        "orthographic")
+            ]
+            if not kids:
+                raise ValueError("batch sensor needs child sensors")
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *kids
+            )
+            sensor = stacked._replace(child_types=stacked.sensor_type)
             continue
         if t in ("perspective", "thinlens", "orthographic",
                  "radiancemeter", "irradiancemeter", "distant"):
@@ -1003,6 +1065,28 @@ def load_dict(d: dict) -> Scene:
                     direction=to_w[:3, 2],
                     cutoff=float(val.get("cutoff_angle", 20.0)),
                     beam=float(val.get("beam_width", 15.0)),
+                )
+            elif t == "projector":
+                img = val.get("bitmap")
+                if img is None and "filename" in val:
+                    from mitsuba_customization_tpu.utils.io import read_image
+
+                    img = read_image(val["filename"])
+                if img is None:
+                    img = np.ones((1, 1, 3), np.float32)
+                to_w = _as_transform(val.get("to_world"))
+                proj_image = np.asarray(img, np.float32)
+                proj_frame = to_w[:3, :3].astype(np.float32)  # r/u/fwd cols
+                proj_tan = float(
+                    np.tan(np.deg2rad(float(val.get("fov", 45.0)) / 2.0))
+                )
+                proj_row = add_emitter(
+                    em_mod.PROJECTOR,
+                    radiance=resolve_spectrum(
+                        val.get("scale", val.get("irradiance", 1.0))
+                    ),
+                    position=to_w[:3, 3],
+                    direction=to_w[:3, 2],
                 )
             continue
         if t == "shapegroup":
@@ -1088,7 +1172,7 @@ def load_dict(d: dict) -> Scene:
     # --- finalize emitter table ---
     emitters = _build_emitter_table(
         em_rows, emissive_prim_ranges, geometry, env_image, env_to_world,
-        env_row, const_row,
+        env_row, const_row, proj_image, proj_frame, proj_tan, proj_row,
     )
 
     if sensor is None:
@@ -1166,7 +1250,8 @@ def _dummy_bvh():
 
 def _build_emitter_table(
     em_rows, emissive_prim_ranges, geometry, env_image, env_to_world,
-    env_row, const_row,
+    env_row, const_row, proj_image=None, proj_frame=None, proj_tan=1.0,
+    proj_row=-1,
 ):
     k = max(len(em_rows), 1)
     em_type = np.zeros(k, np.int32)
@@ -1241,4 +1326,18 @@ def _build_emitter_table(
         env_to_world=jnp.asarray(env_to_world),
         env_index=jnp.asarray(env_row, dtype=jnp.int32),
         background_index=jnp.asarray(const_row, dtype=jnp.int32),
+        em_prim_emitter=jnp.asarray(
+            np.asarray(q_owner, np.int32) if q_owner
+            else np.zeros(1, np.int32)
+        ),
+        proj_image=jnp.asarray(
+            proj_image if proj_image is not None
+            else np.ones((1, 1, 3), np.float32)
+        ),
+        proj_to_world=jnp.asarray(
+            proj_frame if proj_frame is not None
+            else np.eye(3, dtype=np.float32)
+        ),
+        proj_tan=jnp.asarray(proj_tan, dtype=jnp.float32),
+        proj_index=jnp.asarray(proj_row, dtype=jnp.int32),
     )

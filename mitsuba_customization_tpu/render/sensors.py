@@ -1,5 +1,5 @@
 """Sensors: perspective, thinlens, orthographic, radiancemeter,
-irradiancemeter, distant.
+irradiancemeter, distant, batch.
 
 TPU-native counterpart of mitsuba3 src/sensors/ (SURVEY.md §2.4, starred:
 `perspective`). A sensor maps film positions (+ aperture samples) to
@@ -31,6 +31,9 @@ ORTHOGRAPHIC = 2
 RADIANCEMETER = 3
 IRRADIANCEMETER = 4
 DISTANT = 5
+# batch (mitsuba3 src/sensors/batch.cpp) is not an enum member: it is a
+# Sensor whose fields carry a leading child axis + child_types set — the
+# film splits into vertical strips, one per child (see sample_ray).
 
 
 class Sensor(NamedTuple):
@@ -41,13 +44,14 @@ class Sensor(NamedTuple):
     fov_x: horizontal field of view in degrees (perspective/thinlens).
     """
 
-    sensor_type: jnp.ndarray  # () int32
-    to_world: jnp.ndarray  # (4, 4)
+    sensor_type: jnp.ndarray  # () int32 — or (B,) for a batch sensor
+    to_world: jnp.ndarray  # (4, 4) — (B, 4, 4) for batch
     fov_x: jnp.ndarray  # ()
     aperture_radius: jnp.ndarray  # () thinlens
     focus_distance: jnp.ndarray  # () thinlens
     near_clip: jnp.ndarray  # ()
     ortho_scale: jnp.ndarray  # () half-width of the ortho view volume
+    child_types: jnp.ndarray = None  # (B,) int32 marks a batch sensor
 
 
 def look_at(origin, target, up):
@@ -108,7 +112,39 @@ def sample_ray(sensor: Sensor, film_uv, aperture_uv, aspect):
     film_uv: (..., 2) in [0,1)^2, (0,0) = top-left (Mitsuba film convention,
     y down); aperture_uv: (..., 2) for thinlens; aspect = width/height.
     Returns a world-space Ray.
+
+    Batch sensors (child_types set): the film splits into B vertical
+    strips; each lane selects its child by strip, gathers that child's
+    parameters, and the masked per-type math below runs once with
+    per-lane parameter arrays (every formula broadcasts).
     """
+    if sensor.child_types is not None:
+        from mitsuba_customization_tpu.ops.onehot import gather_tree
+
+        b = sensor.child_types.shape[0]
+        xi = jnp.clip(
+            (film_uv[..., 0] * b).astype(jnp.int32), 0, b - 1
+        )
+        local_x = film_uv[..., 0] * b - xi
+        fields = Sensor(
+            sensor_type=sensor.child_types,
+            to_world=sensor.to_world,
+            fov_x=sensor.fov_x,
+            aperture_radius=sensor.aperture_radius,
+            focus_distance=sensor.focus_distance,
+            near_clip=sensor.near_clip,
+            ortho_scale=sensor.ortho_scale,
+            child_types=None,
+        )
+        # gather each lane's child parameters (child_types=None excluded
+        # from the tree so the result is a plain single-sensor pytree)
+        gathered = gather_tree(
+            tuple(f for f in fields if f is not None), xi
+        )
+        per_lane = Sensor(*gathered, child_types=None)
+        uv2 = jnp.stack([local_x, film_uv[..., 1]], axis=-1)
+        return sample_ray(per_lane, uv2, aperture_uv, aspect / b)
+
     tan_half = jnp.tan(jnp.deg2rad(sensor.fov_x) * 0.5)
     # Camera-space film plane at z=1: x right, y up.
     x = (2.0 * film_uv[..., 0] - 1.0) * tan_half
@@ -121,7 +157,7 @@ def sample_ray(sensor: Sensor, film_uv, aperture_uv, aspect):
     # Thinlens: offset origin on the aperture disk, aim at the focus plane.
     ap = (
         square_to_uniform_disk_concentric(aperture_uv)
-        * sensor.aperture_radius
+        * jnp.asarray(sensor.aperture_radius)[..., None]
     )
     o_lens = jnp.stack([ap[..., 0], ap[..., 1], jnp.zeros_like(x)], axis=-1)
     focus_p = d_persp * m.safe_div(
@@ -157,7 +193,9 @@ def sample_ray(sensor: Sensor, film_uv, aperture_uv, aspect):
     # Distant: orthographic target plane pushed back far outside the scene.
     o_dist = o_ortho - 1.0e4 * d_ortho
 
-    st = sensor.sensor_type
+    st = jnp.asarray(sensor.sensor_type)
+    if st.ndim > 0:  # per-lane types (batch sensor): pad for (..., 3) where
+        st = st[..., None]
     o_cam = jnp.where(
         st == THINLENS, o_lens,
         jnp.where(
@@ -179,9 +217,11 @@ def sample_ray(sensor: Sensor, film_uv, aperture_uv, aspect):
         ),
     )
 
-    rot = sensor.to_world[:3, :3]
-    trans = sensor.to_world[:3, 3]
-    o_w = o_cam @ rot.T + trans
-    d_w = m.normalize(d_cam @ rot.T)
-    o_w = o_w + d_w * sensor.near_clip[..., None]
+    rot = sensor.to_world[..., :3, :3]
+    trans = sensor.to_world[..., :3, 3]
+    # (rot @ v) written to support both a shared (3, 3) rotation and a
+    # per-lane (..., 3, 3) one (batch sensors)
+    o_w = (rot @ o_cam[..., None])[..., 0] + trans
+    d_w = m.normalize((rot @ d_cam[..., None])[..., 0])
+    o_w = o_w + d_w * jnp.asarray(sensor.near_clip)[..., None]
     return Ray.make(o_w, d_w)
