@@ -32,6 +32,36 @@ from mitsuba_customization_tpu.render.integrator import render_lanes
 
 AXIS = "shards"
 
+# Halo rows exchanged between row-shard neighbors for splat filters: the
+# 3x3 splat footprint (render/film.splat) reaches at most 2 rows past a
+# sample's own row.
+HALO = 2
+
+
+def _halo_exchange(slab, axes, n_dev, rows_local):
+    """Sum halo rows into the owning shards' cores.
+
+    slab: (rows_local + 2*HALO, ...) local splat accumulator covering
+    [r0 - HALO, r0 + rows_local + HALO). The top HALO rows belong to the
+    previous shard, the bottom HALO rows to the next; one ppermute each
+    way replaces the full-film psum (round-3 verdict item 7: the
+    all-film all-reduce cost 26% sharding overhead).
+    """
+    top = slab[:HALO]
+    bot = slab[rows_local + HALO:]
+    core = slab[HALO:rows_local + HALO]
+    # dest i receives the next shard's top halo (rows it owns at its end)
+    from_next = jax.lax.ppermute(
+        top, axes, [(i + 1, i) for i in range(n_dev - 1)]
+    )
+    # dest i receives the previous shard's bottom halo (its first rows)
+    from_prev = jax.lax.ppermute(
+        bot, axes, [(i, i + 1) for i in range(n_dev - 1)]
+    )
+    core = core.at[rows_local - HALO:].add(from_next)
+    core = core.at[:HALO].add(from_prev)
+    return core
+
 
 def make_mesh(devices=None):
     """1-D mesh over all (local or distributed) devices.
@@ -111,7 +141,7 @@ def render_sharded(scene, mesh=None, spp=None, seed=0):
 
         return body(scene)
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=(P(),), out_specs=P())
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(axes))
     def body_splat(scene_rep):
         idx = jax.lax.axis_index(axes)
         offset = idx.astype(jnp.uint32) * jnp.uint32(lanes_local)
@@ -119,12 +149,15 @@ def render_sharded(scene, mesh=None, spp=None, seed=0):
             scene_rep, spp, jnp.uint32(seed),
             lane_offset=offset, n_lanes=lanes_local,
         )
-        img, wsum = film_mod.splat(
-            L, film_xy, cfg.height, cfg.width,
+        # shard-local slab + halo exchange instead of a full-film psum
+        y0 = idx.astype(jnp.int32) * rows_local - HALO
+        img, wsum = film_mod.splat_slab(
+            L, film_xy, y0, rows_local + 2 * HALO, cfg.height, cfg.width,
             film_mod.FILTER_NAMES[cfg.rfilter],
         )
-        img = jax.lax.psum(img, axes)
-        wsum = jax.lax.psum(wsum, axes)
+        both = jnp.concatenate([img, wsum[..., None]], axis=-1)
+        both = _halo_exchange(both, axes, n_dev, rows_local)
+        img, wsum = both[..., :3], both[..., 3]
         return img / jnp.maximum(wsum, 1e-12)[..., None]
 
     return body_splat(scene)
@@ -151,10 +184,11 @@ def loss_and_grad_sharded(scene, params, target, mesh=None, spp=None, seed=0):
     remaining backward sweep (BASELINE north_star P6).
 
     Box filter: each shard's rows are disjoint, so the local losses psum.
-    Splat filters: the shard's lanes scatter into a full-size film that
-    psums *inside* the differentiated function (same full-film strategy as
-    the forward path), the replicated image yields a global loss, and the
-    AD transpose of the psum routes each shard its own cotangent slice.
+    Splat filters: the shard's lanes scatter into a local row slab whose
+    halo rows ppermute to the neighboring shards inside the
+    differentiated function (same slab strategy as the forward path —
+    the AD transpose of a ppermute is the reverse ppermute, routing each
+    shard its own cotangent halo); local losses then psum.
     """
     mesh = mesh or make_mesh()
     axes = _axes(mesh)
@@ -170,7 +204,7 @@ def loss_and_grad_sharded(scene, params, target, mesh=None, spp=None, seed=0):
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(axes) if box else P()),
+        in_specs=(P(), P(), P(axes)),
         out_specs=(P(), P()),
     )
     def body(scene_rep, params_rep, target_in):
@@ -186,19 +220,19 @@ def loss_and_grad_sharded(scene, params, target, mesh=None, spp=None, seed=0):
             if box:
                 img = film_mod.develop_box(L, rows_local, cfg.width, spp)
                 return jnp.sum((img - target_in) ** 2) * inv_n
-            img, wsum = film_mod.splat(
-                L, film_xy, cfg.height, cfg.width,
-                film_mod.FILTER_NAMES[cfg.rfilter],
+            y0 = idx.astype(jnp.int32) * rows_local - HALO
+            img, wsum = film_mod.splat_slab(
+                L, film_xy, y0, rows_local + 2 * HALO, cfg.height,
+                cfg.width, film_mod.FILTER_NAMES[cfg.rfilter],
             )
-            img = jax.lax.psum(img, axes)
-            wsum = jax.lax.psum(wsum, axes)
-            img = img / jnp.maximum(wsum, 1e-12)[..., None]
-            # img is replicated across shards; the loss is already global
+            both = jnp.concatenate([img, wsum[..., None]], axis=-1)
+            both = _halo_exchange(both, axes, n_dev, rows_local)
+            img = both[..., :3] / jnp.maximum(both[..., 3], 1e-12)[..., None]
+            # rows are shard-local; the per-shard partial losses psum below
             return jnp.sum((img - target_in) ** 2) * inv_n
 
         loss, grads = jax.value_and_grad(local_loss)(params_rep)
-        if box:
-            loss = jax.lax.psum(loss, axes)
+        loss = jax.lax.psum(loss, axes)
         # NOTE: no explicit psum on grads. params_rep enters shard_map
         # replicated (in_specs=P()), so the AD transpose of its broadcast
         # into the varying render IS a psum — value_and_grad already

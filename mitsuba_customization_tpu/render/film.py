@@ -114,6 +114,41 @@ def splat(values, pixel_xy, height, width, filter_type):
     return img, wsum
 
 
+def splat_slab(values, pixel_xy, y0, rows, height, width, filter_type):
+    """`splat` into a local row slab [y0, y0 + rows) of the full film.
+
+    The sharded splat path (parallel/mesh.py) gives each device a slab
+    covering its own rows plus a halo; y0 may be a traced per-shard
+    value. Rows outside [0, height) (or outside the slab) are dropped —
+    identical estimator to the full-film splat once halos are summed.
+    """
+    img = jnp.zeros((rows, width, 3), dtype=values.dtype)
+    wsum = jnp.zeros((rows, width), dtype=values.dtype)
+    px = pixel_xy[..., 0]
+    py = pixel_xy[..., 1]
+    ix = jnp.floor(px - 0.5).astype(jnp.int32)
+    iy = jnp.floor(py - 0.5).astype(jnp.int32)
+    for oy in range(-1, 2):
+        for ox in range(-1, 2):
+            tx = ix + ox
+            ty = iy + oy
+            dx = (tx.astype(px.dtype) + 0.5) - px
+            dy = (ty.astype(py.dtype) + 0.5) - py
+            w = _filter_weight(filter_type, dx, dy)
+            tyl = ty - y0
+            inside = (
+                (tx >= 0) & (tx < width)
+                & (ty >= 0) & (ty < height)
+                & (tyl >= 0) & (tyl < rows)
+            )
+            w = jnp.where(inside, w, 0.0)
+            txs = jnp.clip(tx, 0, width - 1)
+            tys = jnp.clip(tyl, 0, rows - 1)
+            img = img.at[tys, txs].add(values * w[..., None])
+            wsum = wsum.at[tys, txs].add(w)
+    return img, wsum
+
+
 def develop_box(values, height, width, spp):
     """Fast path: lanes are pixel-major (H*W*spp ordering), box filter =
     mean over the spp axis. The default for every baseline config.

@@ -144,3 +144,15 @@ def test_2level_grads_match_single(eight_devices):
         np.asarray(grads_1["bsdf.tabulated.table"]),
         rtol=1e-3, atol=1e-7,
     )
+
+
+def test_2level_gaussian_halo_matches_single(eight_devices):
+    """Splat-filter halo exchange (ppermute) over the 2-level
+    ('dcn','ici') mesh: the ppermute runs over the flattened axis tuple,
+    including pairs that cross the dcn boundary."""
+    scene = _scene(res=32, spp=4)
+    scene.config.rfilter = "gaussian"
+    mesh = pmesh.make_mesh_2level(eight_devices, n_hosts=2)
+    img_s = np.asarray(pmesh.render_sharded_jit(scene, mesh, spp=4, seed=0))
+    img_1 = np.asarray(render_jit(scene, spp=4, seed=0))
+    assert np.allclose(img_s, img_1, rtol=1e-5, atol=1e-6)
