@@ -127,7 +127,7 @@ def main():
     try:
         from __graft_entry__ import _matpreview_scene
 
-        mp_spp = 16
+        mp_spp = 8  # 512*512*8 = one full 2M-lane wavefront pass
         mp = _matpreview_scene(res=512, spp=mp_spp, depth=8, n_sub=5)
         mp, mp_fracs = _probe_compact_schedule(mp, spp=4)
         record["matpreview"] = {

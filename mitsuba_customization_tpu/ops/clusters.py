@@ -56,7 +56,12 @@ from mitsuba_customization_tpu.render import geometry as geo
 from mitsuba_customization_tpu.render.records import Ray
 
 LANE = 128
-TILE_ROWS = 16  # 2048 lanes per tile (matches render's 16x16 pixel blocks)
+# Default packet: 2048 lanes = one 16x16 pixel block at 8 spp. Smaller
+# packets shrink each tile's union of visited clusters (incoherent rays
+# pay per-visit cost for every lane in the tile), at the price of more
+# grid steps; TILE_ROWS is therefore a launch parameter (sweep in
+# scripts/profile_cluster2.py).
+TILE_ROWS = 16
 TILE = TILE_ROWS * LANE
 
 L = 32       # prims per cluster (slab slot count)
@@ -332,9 +337,9 @@ def _slot_tests_tri_only(slab, o, d):
 OUT_ROWS = 3 + NFIELDS
 
 
-def _closest_kernel(n_super, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                    maxt_ref, scb_ref, clb_ref, meta_ref, slabs_ref,
-                    out_ref, slab, cache_ref, sem):
+def _closest_kernel(n_super, tile_rows, ox_ref, oy_ref, oz_ref, dx_ref,
+                    dy_ref, dz_ref, maxt_ref, scb_ref, clb_ref, meta_ref,
+                    slabs_ref, out_ref, slab, cache_ref, sem):
     o = (ox_ref[:], oy_ref[:], oz_ref[:])
     d = (dx_ref[:], dy_ref[:], dz_ref[:])
     inv = tuple(
@@ -386,7 +391,7 @@ def _closest_kernel(n_super, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             idx = jnp.clip(slot_c, 0, LANE - 1)
             for f in range(NFIELDS):
                 seg = jnp.broadcast_to(
-                    slab[f, :][None, :], (TILE_ROWS, LANE)
+                    slab[f, :][None, :], (tile_rows, LANE)
                 )
                 got = jnp.take_along_axis(seg, idx, axis=1)
                 out_ref[3 + f] = jnp.where(improved, got, out_ref[3 + f])
@@ -411,9 +416,9 @@ def _closest_kernel(n_super, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     out_ref[0] = jnp.where(missed, _BIG, out_ref[0])
 
 
-def _shadow_kernel(n_super, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                   maxt_ref, scb_ref, clb_ref, meta_ref, slabs_ref,
-                   hit_ref, slab, cache_ref, sem):
+def _shadow_kernel(n_super, tile_rows, ox_ref, oy_ref, oz_ref, dx_ref,
+                   dy_ref, dz_ref, maxt_ref, scb_ref, clb_ref, meta_ref,
+                   slabs_ref, hit_ref, slab, cache_ref, sem):
     """Any-hit variant: hit_ref (TILE_ROWS, LANE) f32 1.0 = occluded.
     A lane that finds any hit drops out of further box tests; the tile
     skips whole groups once every live lane is resolved."""
@@ -473,9 +478,9 @@ def _shadow_kernel(n_super, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 # ---------------------------------------------------------------------------
 
 
-def _pad_rays(ray: Ray):
+def _pad_rays(ray: Ray, tile=TILE):
     n = ray.o.shape[0]
-    npad = max(TILE, (n + TILE - 1) // TILE * TILE)
+    npad = max(tile, (n + tile - 1) // tile * tile)
     pad = npad - n
     o = jnp.pad(ray.o, ((0, pad), (0, 0)))
     d = jnp.pad(ray.d, ((0, pad), (0, 0)), constant_values=1.0)
@@ -487,21 +492,21 @@ def _pad_rays(ray: Ray):
     return o, d, maxt, n, npad
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _closest_impl(cs: ClusterSet, rays, interpret):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _closest_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
     o, d, maxt = rays
     npad = o.shape[0]
     shape2 = (npad // LANE, LANE)
-    grid = (npad // TILE,)
+    grid = (npad // (tile_rows * LANE),)
     lane_spec = pl.BlockSpec(
-        (TILE_ROWS, LANE), lambda t: (t, 0), memory_space=pltpu.VMEM
+        (tile_rows, LANE), lambda t: (t, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (OUT_ROWS, TILE_ROWS, LANE), lambda t: (0, t, 0),
+        (OUT_ROWS, tile_rows, LANE), lambda t: (0, t, 0),
         memory_space=pltpu.VMEM,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    kernel = functools.partial(_closest_kernel, cs.n_super)
+    kernel = functools.partial(_closest_kernel, cs.n_super, tile_rows)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
@@ -528,12 +533,13 @@ def _closest_impl(cs: ClusterSet, rays, interpret):
     return out.reshape(OUT_ROWS, npad)
 
 
-def intersect(cs: ClusterSet, ray: Ray, interpret=False):
+def intersect(cs: ClusterSet, ray: Ray, interpret=False,
+              tile_rows=TILE_ROWS):
     """Closest-hit query. Returns (t, prim, u, v, g) where g is a per-lane
     Geometry row pytree (winner fields resolved in-kernel — no post-pass
     gather). t = +inf and prim = -1 on miss."""
-    o, d, maxt, n, npad = _pad_rays(ray)
-    out = _closest_impl(cs, (o, d, maxt), interpret)
+    o, d, maxt, n, npad = _pad_rays(ray, tile_rows * LANE)
+    out = _closest_impl(cs, (o, d, maxt), interpret, tile_rows)
     t = out[0, :n]
     u = out[1, :n]
     v = out[2, :n]
@@ -559,17 +565,17 @@ def intersect(cs: ClusterSet, ray: Ray, interpret=False):
     return t, prim, u, v, g
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _shadow_impl(cs: ClusterSet, rays, interpret):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _shadow_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
     o, d, maxt = rays
     npad = o.shape[0]
     shape2 = (npad // LANE, LANE)
-    grid = (npad // TILE,)
+    grid = (npad // (tile_rows * LANE),)
     lane_spec = pl.BlockSpec(
-        (TILE_ROWS, LANE), lambda t: (t, 0), memory_space=pltpu.VMEM
+        (tile_rows, LANE), lambda t: (t, 0), memory_space=pltpu.VMEM
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    kernel = functools.partial(_shadow_kernel, cs.n_super)
+    kernel = functools.partial(_shadow_kernel, cs.n_super, tile_rows)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(shape2, jnp.float32),
@@ -594,8 +600,9 @@ def _shadow_impl(cs: ClusterSet, rays, interpret):
     return out.reshape(npad)
 
 
-def occluded(cs: ClusterSet, ray: Ray, interpret=False):
+def occluded(cs: ClusterSet, ray: Ray, interpret=False,
+             tile_rows=TILE_ROWS):
     """Any-hit query (Scene::ray_test)."""
-    o, d, maxt, n, npad = _pad_rays(ray)
-    hit = _shadow_impl(cs, (o, d, maxt), interpret)
+    o, d, maxt, n, npad = _pad_rays(ray, tile_rows * LANE)
+    hit = _shadow_impl(cs, (o, d, maxt), interpret, tile_rows)
     return hit[:n] > 0.5

@@ -318,6 +318,44 @@ def _run_bounces_compact(scene, bounce, init, sampler, _smp, max_depth,
     N = ray.o.shape[0]
     caps = _compact_caps(N, tuple(fracs), max_depth)
     tag = jnp.arange(N, dtype=jnp.int32)
+
+    # Spatial re-sort: when the cluster packet intersector is active, the
+    # per-bounce sort orders survivors by (direction octant, origin
+    # Morton cell) instead of lane order — each 2048-lane kernel tile
+    # then touches a small union of clusters (the packet kernel's cost
+    # model, ops/clusters.py). The final tag unsort already restores
+    # film order, so the permutation is free beyond the sort itself.
+    spatial = (
+        scene.config.intersector == "cluster" and scene.clusters is not None
+    )
+    if spatial:
+        sc = scene.clusters.sc_box
+        s_lo = jnp.min(sc[:, 0:3], axis=0)
+        s_hi = jnp.max(sc[:, 3:6], axis=0)
+        s_span = jnp.maximum(s_hi - s_lo, 1e-6)
+
+        def _spatial_key(o3, d3):
+            oct_ = (
+                (d3[:, 0] > 0).astype(jnp.int32)
+                + 2 * (d3[:, 1] > 0).astype(jnp.int32)
+                + 4 * (d3[:, 2] > 0).astype(jnp.int32)
+            )
+            cell = jnp.clip(
+                ((o3 - s_lo) / s_span * 15.99).astype(jnp.int32), 0, 15
+            )
+
+            def spread(x):
+                x = (x | (x << 8)) & 0xF00F
+                x = (x | (x << 4)) & 0x30C3
+                x = (x | (x << 2)) & 0x9249
+                return x
+
+            m = (
+                spread(cell[:, 0])
+                | (spread(cell[:, 1]) << 1)
+                | (spread(cell[:, 2]) << 2)
+            )
+            return (oct_ << 12) | m
     smp_names = ["lane"] + [
         nm for nm in ("pixel", "sample_index") if hasattr(sampler, nm)
     ]
@@ -332,21 +370,29 @@ def _run_bounces_compact(scene, bounce, init, sampler, _smp, max_depth,
     compacted = False
     for b in range(max_depth):
         cap = caps[b]
-        if cap < cur:
+        need_thin = cap < cur
+        if need_thin or (spatial and b >= 1):
             compacted = True
-            u = _uniform_from_bits(
-                hash_combine(
-                    hash_combine(sampler.seed, jnp.uint32(0xC09AC7)),
-                    jnp.uint32(b),
-                )
-            )
             act = full["active"][:cur]
-            survive, p = _systematic_survive(act, cap, u)
+            if need_thin:
+                u = _uniform_from_bits(
+                    hash_combine(
+                        hash_combine(sampler.seed, jnp.uint32(0xC09AC7)),
+                        jnp.uint32(b),
+                    )
+                )
+                survive, p = _systematic_survive(act, cap, u)
+            else:
+                survive, p = act, jnp.float32(1.0)
             thr_p = jnp.where(
                 survive[..., None], full["thr"][:cur] / p, full["thr"][:cur]
             )
             iota = jnp.arange(cur, dtype=jnp.int32)
-            key = jnp.where(survive, iota, iota + jnp.int32(cur))
+            if spatial:
+                skey = _spatial_key(full["o"][:cur], full["d"][:cur])
+                key = jnp.where(survive, skey, jnp.int32(1 << 15))
+            else:
+                key = jnp.where(survive, iota, iota + jnp.int32(cur))
             flags = (
                 (full["tag"][:cur] << 2)
                 | (survive.astype(jnp.int32) << 1)
@@ -381,7 +427,8 @@ def _run_bounces_compact(scene, bounce, init, sampler, _smp, max_depth,
                 jnp.concatenate([sn, a[cur:]], 0)
                 for sn, a in zip(s[16:], smp_full)
             ]
-            cur = cap
+            if need_thin:
+                cur = cap
 
         smp_b = sampler.clone()
         for nm, a in zip(smp_names, smp_full):

@@ -75,3 +75,32 @@ def test_forced_thinning_unbiased():
         got.mean(), ref.mean()
     )
     assert np.isfinite(got).all()
+
+
+def test_spatial_resort_matches_plain_matpreview():
+    """Cluster-intersector scenes re-sort survivors by (octant, Morton)
+    each bounce; the final tag unsort must make the image identical to
+    the uncompacted render (same seeds, same estimator)."""
+    import dataclasses
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _matpreview_scene
+    from mitsuba_customization_tpu.render.integrator import render
+
+    scene = _matpreview_scene(res=24, spp=4, depth=4, n_sub=2)
+    assert scene.config.intersector == "cluster"
+    img_plain = np.asarray(render(scene, spp=4, seed=1))
+    sc2 = dataclasses.replace(
+        scene,
+        config=dataclasses.replace(
+            scene.config, compact=(1.0, 1.0, 0.5, 0.25)
+        ),
+    )
+    img_sorted = np.asarray(render(sc2, spp=4, seed=1))
+    # thinning below the live fraction is stochastic but unbiased; with
+    # generous caps only the re-sort permutation differs -> tight match
+    assert np.isfinite(img_sorted).all()
+    assert abs(img_sorted.mean() - img_plain.mean()) < 0.05 * max(
+        img_plain.mean(), 1e-6
+    )
