@@ -85,6 +85,7 @@ _F_PRIM = 28
 NFIELDS = 32           # rows per slab (padded to a DMA-friendly multiple)
 
 _BIG = 1e30
+SENT_CODE = 1e9  # winner-walk sentinel (all valid codes < C_pad * L)
 
 # Capacity contract: cluster boxes live in SMEM (C_pad * 32 B). 8k
 # clusters of 32 prims => 256k primitives; past that render/scene.py
@@ -353,16 +354,13 @@ def _closest_kernel(n_super, tile_rows, ox_ref, oy_ref, oz_ref, dx_ref,
         cache_ref[0] = -1
 
     # init: t = maxt (so near-plane-capped rays prune correctly); dead
-    # lanes t = 0 so every box test fails instantly.
+    # lanes t = 0 so every box test fails instantly. Row 3 carries the
+    # winner code (cluster * L + slot, -1 = miss) during traversal; the
+    # field rows are filled by the deferred winner walk at the end.
     out_ref[0] = jnp.where(active, jnp.minimum(maxt, _BIG), 0.0)
     out_ref[1] = jnp.zeros_like(maxt)
     out_ref[2] = jnp.zeros_like(maxt)
-    for f in range(NFIELDS):
-        fill = -1.0 if f in (_F_TYPE, _F_MAT, _F_EMIT, _F_SHAPE, _F_PRIM) \
-            else 0.0
-        out_ref[3 + f] = jnp.full_like(maxt, fill)
-    # mat_id must be a valid index even on miss (dispatch masks on valid)
-    out_ref[3 + _F_MAT] = jnp.zeros_like(maxt)
+    out_ref[3] = jnp.full_like(maxt, -1.0)
 
     def visit_cluster(c, carry):
         t_best = out_ref[0]
@@ -388,13 +386,8 @@ def _closest_kernel(n_super, tile_rows, ox_ref, oy_ref, oz_ref, dx_ref,
             out_ref[0] = jnp.where(improved, t_c, out_ref[0])
             out_ref[1] = jnp.where(improved, u_c, out_ref[1])
             out_ref[2] = jnp.where(improved, v_c, out_ref[2])
-            idx = jnp.clip(slot_c, 0, LANE - 1)
-            for f in range(NFIELDS):
-                seg = jnp.broadcast_to(
-                    slab[f, :][None, :], (tile_rows, LANE)
-                )
-                got = jnp.take_along_axis(seg, idx, axis=1)
-                out_ref[3 + f] = jnp.where(improved, got, out_ref[3 + f])
+            code = (c * L + jnp.clip(slot_c, 0, L - 1)).astype(jnp.float32)
+            out_ref[3] = jnp.where(improved, code, out_ref[3])
         return 0
 
     def visit_super(s, carry):
@@ -411,8 +404,49 @@ def _closest_kernel(n_super, tile_rows, ox_ref, oy_ref, oz_ref, dx_ref,
 
     jax.lax.fori_loop(0, n_super, visit_super, 0, unroll=False)
 
+    # ---- deferred winner-field resolution ----
+    # Traversal paid only a (t, u, v, code) update per improving cluster;
+    # here one segment walk over the tile's few DISTINCT winner clusters
+    # gathers all NFIELDS rows per lane (the merl_sorted tile-walk
+    # pattern). Misses get the fill values.
+    win_code = out_ref[3]
+    for f in range(NFIELDS):
+        fill = -1.0 if f in (_F_TYPE, _F_EMIT, _F_SHAPE, _F_PRIM) else 0.0
+        out_ref[3 + f] = jnp.full_like(maxt, fill)
+    # mat_id must be a valid index even on miss (dispatch masks on valid)
+    out_ref[3 + _F_MAT] = jnp.zeros_like(maxt)
+
+    def win_cond(state):
+        return state != SENT_CODE
+
+    def win_body(cur):
+        c = jnp.floor(cur / float(L)).astype(jnp.int32)
+
+        @pl.when(cache_ref[0] != c)
+        def _():
+            cp = pltpu.make_async_copy(slabs_ref.at[c], slab, sem)
+            cp.start()
+            cp.wait()
+            cache_ref[0] = c
+
+        in_c = (win_code >= c * L) & (win_code < (c + 1) * L)
+        idx = jnp.clip(
+            (win_code - c * L).astype(jnp.int32), 0, LANE - 1
+        )
+        for f in range(NFIELDS):
+            seg = jnp.broadcast_to(slab[f, :][None, :], (tile_rows, LANE))
+            got = jnp.take_along_axis(seg, idx, axis=1)
+            out_ref[3 + f] = jnp.where(in_c, got, out_ref[3 + f])
+        nxt = jnp.min(
+            jnp.where(win_code >= (c + 1) * L, win_code, SENT_CODE)
+        )
+        return nxt
+
+    cur0 = jnp.min(jnp.where(win_code >= 0.0, win_code, SENT_CODE))
+    jax.lax.while_loop(win_cond, win_body, cur0)
+
     # misses: restore t = +inf semantics
-    missed = out_ref[3 + _F_PRIM] < 0.0
+    missed = win_code < 0.0
     out_ref[0] = jnp.where(missed, _BIG, out_ref[0])
 
 

@@ -335,19 +335,22 @@ def _run_bounces_compact(scene, bounce, init, sampler, _smp, max_depth,
         s_span = jnp.maximum(s_hi - s_lo, 1e-6)
 
         def _spatial_key(o3, d3):
+            # 21-bit Morton (128^3 cells — finer than a cluster, coarse
+            # Morton degenerates to octant-only sorting) + 3-bit octant.
             oct_ = (
                 (d3[:, 0] > 0).astype(jnp.int32)
                 + 2 * (d3[:, 1] > 0).astype(jnp.int32)
                 + 4 * (d3[:, 2] > 0).astype(jnp.int32)
             )
             cell = jnp.clip(
-                ((o3 - s_lo) / s_span * 15.99).astype(jnp.int32), 0, 15
+                ((o3 - s_lo) / s_span * 127.99).astype(jnp.int32), 0, 127
             )
 
-            def spread(x):
-                x = (x | (x << 8)) & 0xF00F
-                x = (x | (x << 4)) & 0x30C3
-                x = (x | (x << 2)) & 0x9249
+            def spread(x):  # 7-bit -> every 3rd bit
+                x = (x | (x << 16)) & 0x030000FF
+                x = (x | (x << 8)) & 0x0300F00F
+                x = (x | (x << 4)) & 0x030C30C3
+                x = (x | (x << 2)) & 0x09249249
                 return x
 
             m = (
@@ -355,7 +358,7 @@ def _run_bounces_compact(scene, bounce, init, sampler, _smp, max_depth,
                 | (spread(cell[:, 1]) << 1)
                 | (spread(cell[:, 2]) << 2)
             )
-            return (oct_ << 12) | m
+            return (oct_ << 21) | m
     smp_names = ["lane"] + [
         nm for nm in ("pixel", "sample_index") if hasattr(sampler, nm)
     ]
@@ -390,7 +393,7 @@ def _run_bounces_compact(scene, bounce, init, sampler, _smp, max_depth,
             iota = jnp.arange(cur, dtype=jnp.int32)
             if spatial:
                 skey = _spatial_key(full["o"][:cur], full["d"][:cur])
-                key = jnp.where(survive, skey, jnp.int32(1 << 15))
+                key = jnp.where(survive, skey, jnp.int32(1 << 25))
             else:
                 key = jnp.where(survive, iota, iota + jnp.int32(cur))
             flags = (
