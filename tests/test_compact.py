@@ -8,6 +8,7 @@ The compacting runner must be a pure estimator-preserving transform:
 """
 
 import numpy as np
+import pytest
 
 import mitsuba_customization_tpu as mct
 from mitsuba_customization_tpu.render.integrator import render
@@ -51,6 +52,7 @@ def test_harvest_only_schedule_exact():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # nightly (-m ""): heavy compile/render; a faster sibling test keeps default coverage
 def test_compaction_schedule_matches_within_noise():
     """A shrinking schedule harvests dead lanes; live thinning is rare,
     so per-pixel differences stay at MC-noise scale."""
@@ -77,6 +79,7 @@ def test_forced_thinning_unbiased():
     assert np.isfinite(got).all()
 
 
+@pytest.mark.slow  # nightly (-m ""): heavy compile/render; a faster sibling test keeps default coverage
 def test_spatial_resort_matches_plain_matpreview():
     """Cluster-intersector scenes re-sort survivors by (octant, Morton)
     each bounce; the final tag unsort must make the image identical to

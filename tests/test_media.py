@@ -338,6 +338,7 @@ def test_media_traverse_update_roundtrip():
     )
 
 
+@pytest.mark.slow  # nightly (-m ""): heavy compile/render; a faster sibling test keeps default coverage
 def test_sigma_t_grad_matches_analytic():
     """Absorption-only fog: d(center)/d(sigma scale) = -sigma*chord*T*L.
 

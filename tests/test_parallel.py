@@ -67,6 +67,7 @@ def test_sharded_render_gaussian_matches_single(eight_devices):
     assert np.allclose(img_s, img_1, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # nightly (-m ""): heavy compile/render; a faster sibling test keeps default coverage
 def test_sharded_grads_match_single(eight_devices):
     scene = _scene(res=16, spp=4)
     mesh = pmesh.make_mesh(eight_devices)
@@ -84,6 +85,7 @@ def test_sharded_grads_match_single(eight_devices):
     assert np.allclose(g_s, g_1, rtol=1e-3, atol=1e-7)
 
 
+@pytest.mark.slow  # nightly (-m ""): heavy compile/render; a faster sibling test keeps default coverage
 def test_dryrun_multichip():
     import sys
 
@@ -107,6 +109,7 @@ def test_2level_mesh_render_matches_single(eight_devices):
     assert np.allclose(img_s, img_1, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # nightly (-m ""): heavy compile/render; a faster sibling test keeps default coverage
 def test_sharded_grads_gaussian_matches_single(eight_devices):
     """Sharded AD under a splat filter (round-2 verdict item 9): the
     shard films psum inside the differentiated function, so gradients

@@ -53,6 +53,7 @@ def _box_scene(integrator, spp=64, depth=3, res=32):
     )
 
 
+@pytest.mark.slow  # nightly (-m ""): heavy compile/render; a faster sibling test keeps default coverage
 def test_ptracer_matches_path():
     """Light-traced and path-traced images agree (Z-test style tolerance).
 
