@@ -422,3 +422,22 @@ class TestSortPlumbing:
             np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
         for a, b in zip(coh, ref):
             np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_eval_sorted_bf16_slabs_close(rng):
+    """Opt-in bf16 HBM slabs (merl_sorted.SLAB_DTYPE): same kernel, half
+    the slab DMA, ~1e-3 relative accuracy (documented ablation knob)."""
+    from fixtures import synthetic_table
+
+    table = jnp.asarray(synthetic_table())
+    n = ms.TILE
+    wi = _unit(rng, n, True)
+    wo = _unit(rng, n, True)
+    ref = np.asarray(ms.eval_sorted(table, wi, wo, interpret=True))
+    perm16 = ms.pack_perm(table[None], dtype=jnp.bfloat16)
+    got = np.asarray(
+        ms.eval_sorted(table, wi, wo, interpret=True, perm=perm16)
+    )
+    denom = np.maximum(np.abs(ref), 1e-3)
+    assert np.max(np.abs(got - ref) / denom) < 2e-2
+    assert np.mean(np.abs(got - ref) / denom) < 3e-3
