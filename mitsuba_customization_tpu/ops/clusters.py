@@ -131,11 +131,29 @@ def _partition(ids, bb_min, bb_max, out):
 
 
 def build(geom: geo.Geometry) -> ClusterSet:
-    """Pack the primitive soup into the two-level cluster structure."""
+    """Pack the primitive soup into the two-level cluster structure.
+
+    Accepts a numpy or device Geometry; all build arithmetic is host
+    numpy (eager device ops pay per-op compile RPCs on tunneled TPU
+    backends — see scene.py build_np).
+    """
     g = jax.tree_util.tree_map(np.asarray, geom)
-    bb_min, bb_max = geo.aabbs(geom)
-    bb_min = np.asarray(bb_min, np.float64)
-    bb_max = np.asarray(bb_max, np.float64)
+    is_tri = g.prim_type == geo.TRI
+    is_cyl = g.prim_type == geo.CYLINDER
+    p1 = g.p0 + g.e1
+    p2 = g.p0 + g.e2
+    tri_min = np.minimum(g.p0, np.minimum(p1, p2))
+    tri_max = np.maximum(g.p0, np.maximum(p1, p2))
+    r = g.e1[:, 0:1]
+    rc = g.e2[:, 0:1]
+    bb_min = np.where(
+        is_tri[:, None], tri_min,
+        np.where(is_cyl[:, None], np.minimum(g.p0, p1) - rc, g.p0 - r),
+    ).astype(np.float64)
+    bb_max = np.where(
+        is_tri[:, None], tri_max,
+        np.where(is_cyl[:, None], np.maximum(g.p0, p1) + rc, g.p0 + r),
+    ).astype(np.float64)
     n = g.prim_type.shape[0]
 
     clusters: list[np.ndarray] = []

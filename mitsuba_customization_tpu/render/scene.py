@@ -391,6 +391,16 @@ class _GeomBuilder:
         }
         return geo.Geometry(**arrays)
 
+    def build_np(self):
+        """Numpy mirror of build() — host-side consumers (emitter table,
+        cluster builder) read this instead of issuing eager device ops:
+        on a remote-compile TPU backend every tiny eager op pays a
+        multi-second compile RPC (measured: the emitter table alone cost
+        154 s of a 171 s scene build)."""
+        return geo.Geometry(**{
+            k: np.concatenate(v, axis=0) for k, v in self.rows.items()
+        })
+
 
 def _unit_rectangle():
     """[-1,1]^2 quad in the xy-plane facing +z (mitsuba3 rectangle.cpp)."""
@@ -1171,8 +1181,9 @@ def load_dict(d: dict) -> Scene:
 
     # --- finalize emitter table ---
     emitters = _build_emitter_table(
-        em_rows, emissive_prim_ranges, geometry, env_image, env_to_world,
-        env_row, const_row, proj_image, proj_frame, proj_tan, proj_row,
+        em_rows, emissive_prim_ranges, gb.build_np(), env_image,
+        env_to_world, env_row, const_row, proj_image, proj_frame, proj_tan,
+        proj_row,
     )
 
     if sensor is None:
@@ -1203,7 +1214,7 @@ def load_dict(d: dict) -> Scene:
     cluster_set = None
     if cfg.use_bvh and gb.count <= cl_mod.MAX_PRIMS:
         cfg.intersector = "cluster"
-        cluster_set = cl_mod.build(geometry)
+        cluster_set = cl_mod.build(gb.build_np())
     elif cfg.use_bvh:
         cfg.intersector = "bvh"
 
@@ -1283,16 +1294,27 @@ def _build_emitter_table(
     prim_area = np.ones(q, np.float32)
     pmf = np.zeros((k, q), np.float32)
     if q_ids:
+        # numpy throughout: `geometry` is the host-side soup mirror — an
+        # eager jnp version of this arithmetic paid one remote-compile
+        # RPC per op on the tunneled TPU backend (~150 s per scene build)
         em_prims = np.asarray(q_ids, np.int32)
-        prim_area = np.asarray(
-            em_mod.prim_surface_area(geometry, jnp.asarray(em_prims))
-        )
+        e1 = np.asarray(geometry.e1)[em_prims]
+        e2 = np.asarray(geometry.e2)[em_prims]
+        pt = np.asarray(geometry.prim_type)[em_prims]
+        tri_area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+        sph_area = 4.0 * np.pi * e1[:, 0] ** 2
+        cyl_area = 2.0 * np.pi * e2[:, 0] * np.linalg.norm(e1, axis=-1)
+        prim_area = np.where(
+            pt == geo.TRI, tri_area,
+            np.where(pt == geo.CYLINDER, cyl_area, sph_area),
+        ).astype(np.float32)
         for qi, owner in enumerate(q_owner):
             pmf[owner, qi] = prim_area[qi]
     row_sums = pmf.sum(-1, keepdims=True)
     pmf = np.where(row_sums > 0, pmf / np.maximum(row_sums, 1e-20), 0.0)
     prim_dist = DiscreteDistribution(
-        pmf=jnp.asarray(pmf), cdf=jnp.cumsum(jnp.asarray(pmf), axis=-1)
+        pmf=jnp.asarray(pmf),
+        cdf=jnp.asarray(np.cumsum(pmf, axis=-1, dtype=np.float32)),
     )
 
     prim_to_q = np.full(geometry.n_prims, -1, np.int32)
@@ -1301,13 +1323,18 @@ def _build_emitter_table(
 
     # selection: uniform over emitters (mitsuba3 default)
     has_emitters = len(em_rows) > 0
-    sel_w = jnp.ones(k) if has_emitters else jnp.zeros(k)
-    select = DiscreteDistribution.build(sel_w)
+    sel_np = (np.ones(k) if has_emitters else np.zeros(k)) + 1e-20
+    sel_pmf = (sel_np / sel_np.sum()).astype(np.float32)
+    select = DiscreteDistribution(
+        pmf=jnp.asarray(sel_pmf),
+        cdf=jnp.asarray(np.cumsum(sel_pmf, dtype=np.float32)),
+    )
 
     if env_image is None:
         env_image = np.zeros((1, 1, 3), np.float32)
     env_img = jnp.asarray(env_image)
-    env_dist = em_mod.build_env_distribution(env_img)
+    # jitted: one compile instead of one eager compile RPC per op
+    env_dist = jax.jit(em_mod.build_env_distribution)(env_img)
 
     return em_mod.EmitterTable(
         em_type=jnp.asarray(em_type),
