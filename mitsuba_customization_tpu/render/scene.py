@@ -113,6 +113,7 @@ class Scene:
     shadow_geometry: Optional[geo.Geometry]
     clusters: object = None          # ops/clusters.ClusterSet or None
     shadow_clusters: object = None
+    sdf: object = None               # render/sdf.SDFGrid or None
     config: SceneConfig = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
@@ -135,12 +136,23 @@ class Scene:
             # of contract — render/integrator.py)
             ray = jax.tree_util.tree_map(jax.lax.stop_gradient, ray)
             t, prim, u, v, g = cl_mod.intersect(self.clusters, ray)
-            return geo.interaction_from_g(g, ray, t, prim, u, v)
-        if mode == "bvh":
-            t, prim, u, v = bvh_mod.intersect(self.bvh, self.geometry, ray)
+            si = geo.interaction_from_g(g, ray, t, prim, u, v)
         else:
-            t, prim, u, v = geo.intersect_brute(self.geometry, ray)
-        return geo.compute_interaction(self.geometry, ray, t, prim, u, v)
+            if mode == "bvh":
+                t, prim, u, v = bvh_mod.intersect(
+                    self.bvh, self.geometry, ray
+                )
+            else:
+                t, prim, u, v = geo.intersect_brute(self.geometry, ray)
+            si = geo.compute_interaction(self.geometry, ray, t, prim, u, v)
+        if self.sdf is not None:
+            from mitsuba_customization_tpu.render import sdf as sdf_mod
+
+            t_s, hit_s, p_l = sdf_mod.intersect(self.sdf, ray)
+            si = sdf_mod.merge_interaction(
+                si, sdf_mod.interaction(self.sdf, ray, t_s, hit_s, p_l)
+            )
+        return si
 
     def ray_test(self, ray):
         """Scene::ray_test — shadow-ray occlusion.
@@ -159,15 +171,25 @@ class Scene:
                 if self.shadow_clusters is not None
                 else self.clusters
             )
-            return cl_mod.occluded(cs, ray)
+            return self._sdf_occluded(ray, cl_mod.occluded(cs, ray))
         g = (
             self.shadow_geometry
             if self.shadow_geometry is not None
             else self.geometry
         )
         if mode == "bvh":
-            return bvh_mod.occluded(self.bvh, g, ray)
-        return geo.occluded_brute(g, ray)
+            occ = bvh_mod.occluded(self.bvh, g, ray)
+        else:
+            occ = geo.occluded_brute(g, ray)
+        return self._sdf_occluded(ray, occ)
+
+    def _sdf_occluded(self, ray, occ):
+        if self.sdf is None:
+            return occ
+        from mitsuba_customization_tpu.render import sdf as sdf_mod
+
+        t_s, hit_s, _ = sdf_mod.intersect(self.sdf, ray)
+        return occ | (hit_s & (t_s < ray.maxt))
 
 
 # --------------------------------------------------------------------------
@@ -449,6 +471,7 @@ def _unit_disk(segments=32):
 # --------------------------------------------------------------------------
 
 _SHAPE_TYPES = {"sphere", "obj", "ply", "serialized", "mesh", "rectangle",
+                "sdfgrid",
                 "cube", "disk", "cylinder", "instance"}
 _EMITTER_TYPES = {"constant", "envmap", "point", "spot", "directional",
                   "projector"}
@@ -827,6 +850,7 @@ def load_dict(d: dict) -> Scene:
 
     gb = _GeomBuilder()
     sensor = None
+    sdf_shape = None
     shape_count = 0
     emissive_prim_ranges = []  # (emitter_id, prim_start, prim_end)
 
@@ -1107,6 +1131,23 @@ def load_dict(d: dict) -> Scene:
             shapegroups[key] = val
             continue
         if t in _SHAPE_TYPES:
+            if t == "sdfgrid":
+                # one SDF grid shape per scene (render/sdf.py); it does
+                # not flatten into the primitive soup — the grid is its
+                # own acceleration structure (sphere tracing)
+                if sdf_shape is not None:
+                    raise ValueError("only one sdfgrid per scene supported")
+                from mitsuba_customization_tpu.render import sdf as sdf_mod
+
+                sdf_shape = sdf_mod.make(
+                    np.asarray(val["grid"], np.float32),
+                    to_world=_as_transform(val.get("to_world")),
+                    mat_id=compile_bsdf(val.get("bsdf", {"type": "diffuse"})),
+                    shape_id=shape_count,
+                )
+                shape_interior.append(-1)
+                shape_count += 1
+                continue
             if t == "instance":
                 gref = val.get("shapegroup", val.get("ref"))
                 if isinstance(gref, dict):
@@ -1241,6 +1282,7 @@ def load_dict(d: dict) -> Scene:
         media=media,
         shadow_geometry=shadow_geom,
         clusters=cluster_set,
+        sdf=sdf_shape,
         shadow_clusters=(
             cl_mod.build(shadow_geom)
             if (shadow_geom is not None and cluster_set is not None)
