@@ -61,3 +61,43 @@ def test_stratified_covers_strata():
     u = np.asarray(s.next_1d()).reshape(n_pix, spp)
     strata = np.sort((u * spp).astype(int), axis=1)
     assert np.all(strata == np.arange(spp)[None, :])
+
+
+def test_multijitter_projections_stratified():
+    """CMJ (multijitter): all spp samples of one pixel are stratified in
+    the m x n 2-D grid AND in both 1-D spp-stratum projections."""
+    from mitsuba_customization_tpu.core.sampler import make_sampler
+
+    spp = 16  # m = n = 4
+    pixel = jnp.zeros(spp, jnp.uint32)
+    sidx = jnp.arange(spp, dtype=jnp.uint32)
+    smp = make_sampler("multijitter", jnp.uint32(7), pixel, sidx, spp)
+    uv = np.asarray(smp.next_2d())
+    assert uv.shape == (spp, 2) and (uv >= 0).all() and (uv < 1).all()
+    # 4x4 grid: exactly one sample per cell
+    cx = np.floor(uv[:, 0] * 4).astype(int)
+    cy = np.floor(uv[:, 1] * 4).astype(int)
+    assert sorted(cx * 4 + cy) == list(range(16))
+    # 1-D projections: one sample per 1/16 stratum
+    assert sorted(np.floor(uv[:, 0] * 16).astype(int)) == list(range(16))
+    assert sorted(np.floor(uv[:, 1] * 16).astype(int)) == list(range(16))
+
+
+def test_orthogonal_pairwise_stratified():
+    """OA strength 2 (orthogonal, spp = 5^2): every PAIR of dimensions is
+    balanced on the 5x5 grid — one sample per cell."""
+    from mitsuba_customization_tpu.core.sampler import make_sampler
+
+    spp, p = 25, 5
+    pixel = jnp.zeros(spp, jnp.uint32)
+    sidx = jnp.arange(spp, dtype=jnp.uint32)
+    smp = make_sampler("orthogonal", jnp.uint32(3), pixel, sidx, spp)
+    dims = [np.asarray(smp.next_1d()) for _ in range(4)]
+    for d in dims:
+        # each dimension alone: one sample per 1/25 stratum
+        assert sorted(np.floor(d * 25).astype(int)) == list(range(25))
+    for i in range(4):
+        for j in range(i + 1, 4):
+            ci = np.floor(dims[i] * p).astype(int)
+            cj = np.floor(dims[j] * p).astype(int)
+            assert sorted(ci * p + cj) == list(range(25)), (i, j)
