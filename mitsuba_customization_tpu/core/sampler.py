@@ -239,7 +239,12 @@ def _kensler_permute(i, l, p, rounds=24):
     out = one_round(i)
     for _ in range(rounds - 1):
         out = jnp.where(out >= l, one_round(out), out)
-    out = jnp.where(out >= l, i % l, out)  # < 1e-10 per-lane fallback
+    # Fixed-round cycle walk: after `rounds` rounds a lane still >= l falls
+    # back to i % l, which is NOT injective — the bijection is probabilistic
+    # (miss probability < (1 - l/(w+1))^rounds ~ 2^-24 per lane vs the
+    # reference's unbounded do-while). A duplicated/missed stratum at that
+    # rate is far below MC noise; accepted for static-shape jit control flow.
+    out = jnp.where(out >= l, i % l, out)
     return (out + p) % l
 
 
@@ -297,9 +302,12 @@ class OrthogonalSampler(StratifiedSampler):
     """Orthogonal-array sampler (Bose OA of strength 2, Jarosz et al.
     2019) — the reference's `orthogonal` plugin. Requires spp = p^2 with
     p prime: sample s = (a, b) lands in stratum (a + j*b mod p) of
-    dimension j, so EVERY pair of dimensions (not just consecutive ones)
-    is stratified on the p x p grid. Non-square spp falls back to the
-    stratified stream.
+    dimension j, so every pair of dimensions with distinct indices mod p
+    is stratified on the p x p grid (the Bose OA strength-2 guarantee;
+    dimensions congruent mod p share a column — the per-dimension stratum
+    permutation relabels but cannot separate them, exactly as in the
+    reference construction). Non-square spp falls back to the stratified
+    stream.
     """
 
     def _p(self):

@@ -92,6 +92,19 @@ SENT_CODE = 1e9  # winner-walk sentinel (all valid codes < C_pad * L)
 # keeps the skip-link BVH.
 MAX_PRIMS = 8192 * L // 2  # median split halves may leave clusters ~L/2 full
 
+# Opt-in: run the kernels in Pallas interpret mode on CPU backends instead
+# of falling back to the skip-link BVH (render/scene.py _mode). This keeps
+# the PRODUCTION intersector on the traced path for virtual-device mesh
+# tests and the driver's dryrun_multichip (round-4 verdict: multi-chip
+# mesh-scene rendering was untested in any mode).
+ALLOW_INTERPRET = False
+
+
+def _auto_interpret(interpret):
+    if interpret:
+        return True
+    return ALLOW_INTERPRET and jax.default_backend() == "cpu"
+
 
 class ClusterSet(NamedTuple):
     """Device-resident cluster acceleration structure.
@@ -358,7 +371,7 @@ OUT_ROWS = 3 + NFIELDS
 
 def _closest_kernel(n_super, tile_rows, ox_ref, oy_ref, oz_ref, dx_ref,
                     dy_ref, dz_ref, maxt_ref, scb_ref, clb_ref, meta_ref,
-                    slabs_ref, out_ref, slab, cache_ref, sem):
+                    slabs_ref, out_ref, slab, cache_ref, sem, ent_ref):
     o = (ox_ref[:], oy_ref[:], oz_ref[:])
     d = (dx_ref[:], dy_ref[:], dz_ref[:])
     inv = tuple(
@@ -366,6 +379,8 @@ def _closest_kernel(n_super, tile_rows, ox_ref, oy_ref, oz_ref, dx_ref,
     )
     maxt = maxt_ref[:]
     active = maxt > 0.0
+    s_pad = ent_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -408,19 +423,43 @@ def _closest_kernel(n_super, tile_rows, ox_ref, oy_ref, oz_ref, dx_ref,
             out_ref[3] = jnp.where(improved, code, out_ref[3])
         return 0
 
-    def visit_super(s, carry):
-        t_best = out_ref[0]
-        hit, _ = _box_entry(scb_ref, s, o, inv, t_best)
+    # ---- pass 1: per-supercluster tile entry distances ----
+    # ent[s] = min over lanes of the entry distance into supercluster s
+    # (BIG when no lane's segment touches it). Stored as a VMEM row so the
+    # selection loop below is pure vector math.
+    ent_ref[:, :] = jnp.full((1, s_pad), _BIG)
+    t_init = out_ref[0]
 
-        @pl.when(jnp.any(hit))
+    def entry_pass(s, carry):
+        hit, near = _box_entry(scb_ref, s, o, inv, t_init)
+        e = jnp.min(jnp.where(hit, near, _BIG))
+        ent_ref[:, :] = jnp.where(col == s, e, ent_ref[:, :])
+        return 0
+
+    jax.lax.fori_loop(0, n_super, entry_pass, 0, unroll=False)
+
+    # ---- pass 2: entry-ordered descent with early-out ----
+    # Visit superclusters nearest-first: t_best collapses to its final
+    # value within the first few visits and the per-cluster near < t_best
+    # test prunes the rest. Once even the nearest unvisited entry exceeds
+    # the tile's worst t_best, no lane can improve — remaining iterations
+    # fall through (a handful of vector ops each).
+    def visit_ordered(i, carry):
+        ent = ent_ref[:, :]
+        e = jnp.min(ent)
+        s = jnp.min(jnp.where(ent == e, col, n_super))
+        t_max = jnp.max(out_ref[0])
+
+        @pl.when(e < t_max)
         def _():
             jax.lax.fori_loop(
                 s * GROUP, (s + 1) * GROUP, visit_cluster, 0,
                 unroll=False,
             )
+        ent_ref[:, :] = jnp.where(col == s, _BIG, ent)
         return 0
 
-    jax.lax.fori_loop(0, n_super, visit_super, 0, unroll=False)
+    jax.lax.fori_loop(0, n_super, visit_ordered, 0, unroll=False)
 
     # ---- deferred winner-field resolution ----
     # Traversal paid only a (t, u, v, code) update per improving cluster;
@@ -470,15 +509,20 @@ def _closest_kernel(n_super, tile_rows, ox_ref, oy_ref, oz_ref, dx_ref,
 
 def _shadow_kernel(n_super, tile_rows, ox_ref, oy_ref, oz_ref, dx_ref,
                    dy_ref, dz_ref, maxt_ref, scb_ref, clb_ref, meta_ref,
-                   slabs_ref, hit_ref, slab, cache_ref, sem):
+                   slabs_ref, hit_ref, slab, cache_ref, sem, ent_ref):
     """Any-hit variant: hit_ref (TILE_ROWS, LANE) f32 1.0 = occluded.
     A lane that finds any hit drops out of further box tests; the tile
-    skips whole groups once every live lane is resolved."""
+    skips whole groups once every live lane is resolved. Superclusters
+    are visited nearest-entry-first (most occluders sit near the ray
+    origin — surface self-shadowing), so occluded lanes die in the first
+    visits and the tile's live set collapses early."""
     o = (ox_ref[:], oy_ref[:], oz_ref[:])
     d = (dx_ref[:], dy_ref[:], dz_ref[:])
     inv = tuple(1.0 / jnp.where(jnp.abs(c) < 1e-12, 1e-12, c) for c in d)
     maxt = maxt_ref[:]
     active = maxt > 0.0
+    s_pad = ent_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -509,20 +553,35 @@ def _shadow_kernel(n_super, tile_rows, ox_ref, oy_ref, oz_ref, dx_ref,
             hit_ref[:] = jnp.where(occ, 1.0, hit_ref[:])
         return 0
 
-    def visit_super(s, carry):
-        live = active & (hit_ref[:] == 0.0)
-        t_cap = jnp.where(live, maxt, 0.0)
-        boxhit, _ = _box_entry(scb_ref, s, o, inv, t_cap)
+    # pass 1: per-supercluster entry distances (vs the full per-lane cap)
+    ent_ref[:, :] = jnp.full((1, s_pad), _BIG)
+    t_cap0 = jnp.where(active, maxt, 0.0)
 
-        @pl.when(jnp.any(boxhit))
+    def entry_pass(s, carry):
+        hit, near = _box_entry(scb_ref, s, o, inv, t_cap0)
+        e = jnp.min(jnp.where(hit, near, _BIG))
+        ent_ref[:, :] = jnp.where(col == s, e, ent_ref[:, :])
+        return 0
+
+    jax.lax.fori_loop(0, n_super, entry_pass, 0, unroll=False)
+
+    # pass 2: nearest-first visits; stop once every lane is resolved
+    def visit_ordered(i, carry):
+        ent = ent_ref[:, :]
+        e = jnp.min(ent)
+        s = jnp.min(jnp.where(ent == e, col, n_super))
+        unresolved = jnp.any(active & (hit_ref[:] == 0.0))
+
+        @pl.when((e < _BIG) & unresolved)
         def _():
             jax.lax.fori_loop(
                 s * GROUP, (s + 1) * GROUP, visit_cluster, 0,
                 unroll=False,
             )
+        ent_ref[:, :] = jnp.where(col == s, _BIG, ent)
         return 0
 
-    jax.lax.fori_loop(0, n_super, visit_super, 0, unroll=False)
+    jax.lax.fori_loop(0, n_super, visit_ordered, 0, unroll=False)
 
 
 # ---------------------------------------------------------------------------
@@ -534,13 +593,22 @@ def _pad_rays(ray: Ray, tile=TILE):
     n = ray.o.shape[0]
     npad = max(tile, (n + tile - 1) // tile * tile)
     pad = npad - n
-    o = jnp.pad(ray.o, ((0, pad), (0, 0)))
+    # Pad origins far OUTSIDE any scene bounds (with d = (1,1,1) every box
+    # test then fails on far > 0). Origin (0,0,0) would sit inside scenes
+    # containing the origin, where near < 0 < t_best passes the box test
+    # even for dead (maxt = 0) lanes and all-pad tiles would descend and
+    # DMA slabs for nothing (round-4 advisor finding).
+    o = jnp.pad(ray.o, ((0, pad), (0, 0)), constant_values=1e30)
     d = jnp.pad(ray.d, ((0, pad), (0, 0)), constant_values=1.0)
     maxt = jnp.pad(
         jnp.broadcast_to(ray.maxt, (n,)), (0, pad), constant_values=0.0
     )
     # inf maxt upsets the t-init; clamp to _BIG (same pruning semantics)
     maxt = jnp.minimum(maxt, _BIG)
+    # Same origin-inside-box escape hatch for DEAD lanes (maxt <= 0, e.g.
+    # compaction ride-alongs, which sort into contiguous tail tiles): park
+    # them outside the scene so all-dead tiles never descend.
+    o = jnp.where((maxt > 0.0)[:, None], o, 1e30)
     return o, d, maxt, n, npad
 
 
@@ -559,6 +627,7 @@ def _closest_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     kernel = functools.partial(_closest_kernel, cs.n_super, tile_rows)
+    s_pad = max(LANE, (cs.n_super + LANE - 1) // LANE * LANE)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
@@ -572,6 +641,7 @@ def _closest_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
             pltpu.VMEM((NFIELDS, LANE), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((1, s_pad), jnp.float32),
         ],
         interpret=interpret,
     )(
@@ -590,6 +660,7 @@ def intersect(cs: ClusterSet, ray: Ray, interpret=False,
     """Closest-hit query. Returns (t, prim, u, v, g) where g is a per-lane
     Geometry row pytree (winner fields resolved in-kernel — no post-pass
     gather). t = +inf and prim = -1 on miss."""
+    interpret = _auto_interpret(interpret)
     o, d, maxt, n, npad = _pad_rays(ray, tile_rows * LANE)
     out = _closest_impl(cs, (o, d, maxt), interpret, tile_rows)
     t = out[0, :n]
@@ -628,6 +699,7 @@ def _shadow_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     kernel = functools.partial(_shadow_kernel, cs.n_super, tile_rows)
+    s_pad = max(LANE, (cs.n_super + LANE - 1) // LANE * LANE)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(shape2, jnp.float32),
@@ -639,6 +711,7 @@ def _shadow_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
             pltpu.VMEM((NFIELDS, LANE), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((1, s_pad), jnp.float32),
         ],
         interpret=interpret,
     )(
@@ -655,6 +728,7 @@ def _shadow_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
 def occluded(cs: ClusterSet, ray: Ray, interpret=False,
              tile_rows=TILE_ROWS):
     """Any-hit query (Scene::ray_test)."""
+    interpret = _auto_interpret(interpret)
     o, d, maxt, n, npad = _pad_rays(ray, tile_rows * LANE)
     hit = _shadow_impl(cs, (o, d, maxt), interpret, tile_rows)
     return hit[:n] > 0.5

@@ -97,10 +97,18 @@ def _axes(mesh):
     return tuple(mesh.axis_names)
 
 
-def _check_divisible(height, n_dev):
+def _check_divisible(height, n_dev, need_halo=False):
     if height % n_dev != 0:
         raise ValueError(
             f"image height {height} must divide by the mesh size {n_dev}"
+        )
+    if need_halo and height // n_dev < HALO:
+        # _halo_exchange slices core[rows_local - HALO:]; fewer than HALO
+        # rows per shard would make that a negative slice (shape error
+        # downstream). Splat filters need >= HALO rows per shard.
+        raise ValueError(
+            f"splat filters need >= {HALO} rows per shard; "
+            f"{height} rows / {n_dev} devices leaves {height // n_dev}"
         )
 
 
@@ -121,14 +129,15 @@ def render_sharded(scene, mesh=None, spp=None, seed=0):
     cfg = scene.config
     spp = spp or cfg.spp
     n_dev = mesh.devices.size
-    _check_divisible(cfg.height, n_dev)
+    _check_divisible(cfg.height, n_dev, need_halo=cfg.rfilter != "box")
     rows_local = cfg.height // n_dev
     lanes_local = rows_local * cfg.width * spp
 
     if cfg.rfilter == "box":
 
         @partial(
-            jax.shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(axes)
+            jax.shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(axes),
+            check_vma=False,
         )
         def body(scene_rep):
             idx = jax.lax.axis_index(axes)
@@ -141,7 +150,8 @@ def render_sharded(scene, mesh=None, spp=None, seed=0):
 
         return body(scene)
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(axes))
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(),), out_specs=P(axes),
+             check_vma=False)
     def body_splat(scene_rep):
         idx = jax.lax.axis_index(axes)
         offset = idx.astype(jnp.uint32) * jnp.uint32(lanes_local)
@@ -196,7 +206,7 @@ def loss_and_grad_sharded(scene, params, target, mesh=None, spp=None, seed=0):
     box = cfg.rfilter == "box"
     spp = int(spp or cfg.spp)
     n_dev = mesh.devices.size
-    _check_divisible(cfg.height, n_dev)
+    _check_divisible(cfg.height, n_dev, need_halo=not box)
     rows_local = cfg.height // n_dev
     lanes_local = rows_local * cfg.width * spp
     inv_n = 1.0 / (cfg.height * cfg.width * 3)
@@ -206,6 +216,11 @@ def loss_and_grad_sharded(scene, params, target, mesh=None, spp=None, seed=0):
         mesh=mesh,
         in_specs=(P(), P(), P(axes)),
         out_specs=(P(), P()),
+        # check_vma=False: Pallas calls (the interpret-mode cluster
+        # kernels on CPU meshes) cannot annotate varying-mesh-axes on
+        # their out_shapes; semantics (incl. the implicit grad psum from
+        # the replicated params transpose) are unchanged.
+        check_vma=False,
     )
     def body(scene_rep, params_rep, target_in):
         idx = jax.lax.axis_index(axes)

@@ -74,6 +74,11 @@ class EmitterTable(NamedTuple):
     proj_to_world: jnp.ndarray = None  # (3, 3) columns = right/up/forward
     proj_tan: jnp.ndarray = None  # () tan(fov_x / 2)
     proj_index: jnp.ndarray = None  # () int32 projector emitter id, -1 none
+    # Compact (Q,)-row copy of the emissive prims' Geometry. NEE position
+    # sampling gathers from these Q rows instead of the full P-prim soup —
+    # the full-soup one-hot gather_tree was O(lanes * P) MXU work (185 ms
+    # at 2M lanes on a 20k-prim scene, PROFILE_stage_r05.json).
+    em_geom: object = None
 
     @property
     def n_emitters(self):
@@ -227,11 +232,16 @@ def sample_direction(
         out_rad = jnp.where(mask[..., None], rad, out_rad)
         out_delta = jnp.where(mask, delta, out_delta)
 
+    out_p_area = jnp.zeros(p_ref.shape[:-1])
+
     # ---- area ----
     mask_area = et == AREA
     q, _ = table.prim_dist.sample_reuse(u2[..., 0], slice_=(k,))
-    prim = table.em_prims[q]
-    x, n_e = _sample_position_on_prim(geom, prim, u_pos)
+    if table.em_geom is not None:
+        x, n_e = _sample_position_on_prim(table.em_geom, q, u_pos)
+    else:
+        prim = table.em_prims[q]
+        x, n_e = _sample_position_on_prim(geom, prim, u_pos)
     to_x = x - p_ref
     dist2 = m.squared_norm(to_x)
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
@@ -251,6 +261,9 @@ def sample_direction(
         jnp.where(front, pdf_sa, 0.0),
         rad,
         jnp.zeros_like(front),
+    )
+    out_p_area = jnp.where(
+        mask_area & front, p_area * sel_pmf, out_p_area
     )
 
     # ---- constant ----
@@ -388,7 +401,8 @@ def sample_direction(
         )
 
     return DirectionSample(
-        d=out_d, dist=out_dist, pdf=out_pdf, radiance=out_rad, delta=out_delta
+        d=out_d, dist=out_dist, pdf=out_pdf, radiance=out_rad,
+        delta=out_delta, p_area=out_p_area,
     )
 
 
@@ -426,6 +440,21 @@ def pdf_hit_direction(table: EmitterTable, geom: geo.Geometry, si, p_ref):
     cos_e = m.dot(si.n, -d)
     pdf_sa = m.safe_div(pmf_q / jnp.maximum(table.prim_area[qs], 1e-12) * dist2, cos_e)
     return jnp.where(valid & (cos_e > 0), sel * pdf_sa, 0.0)
+
+
+def pdf_hit_area(table: EmitterTable, si):
+    """Area-measure density of NEE / light-path emission sampling picking
+    the surface point si.p on the hit emissive prim: sel_pmf * prim_pmf /
+    prim_area (0 for non-emitter hits). The BDPT MIS ratios compare
+    strategy densities in the area product measure (render/bdpt.py)."""
+    q = table.prim_to_q[jnp.maximum(si.prim, 0)]
+    valid = (si.prim >= 0) & (q >= 0) & (si.emitter >= 0)
+    qs = jnp.maximum(q, 0)
+    em = jnp.maximum(si.emitter, 0)
+    pmf_q = table.prim_dist.eval_pmf(qs, slice_=(em,))
+    sel = table.select.eval_pmf(em)
+    p = sel * pmf_q / jnp.maximum(table.prim_area[qs], 1e-12)
+    return jnp.where(valid, p, 0.0)
 
 
 def pdf_miss_direction(table: EmitterTable, d_world):

@@ -117,11 +117,15 @@ def sample_emitter_ray(emitters, geom, u_sel, u_pos, u_dir):
     # ---- area: prim ~ per-emitter pmf, uniform position, cosine dir ----
     q, u_rest2 = emitters.prim_dist.sample_reuse(u_rest, slice_=(k,))
     pmf_q = emitters.prim_dist.eval_pmf(q, slice_=(k,))
-    prim = take_rows(emitters.em_prims, q)
     area = jnp.maximum(take_rows(emitters.prim_area, q), 1e-12)
-    p_area, n_area = em_mod._sample_position_on_prim(
-        geom, prim, jnp.stack([u_pos, u_rest2], axis=-1)
-    )
+    u2q = jnp.stack([u_pos, u_rest2], axis=-1)
+    if emitters.em_geom is not None:
+        p_area, n_area = em_mod._sample_position_on_prim(
+            emitters.em_geom, q, u2q
+        )
+    else:
+        prim = take_rows(emitters.em_prims, q)
+        p_area, n_area = em_mod._sample_position_on_prim(geom, prim, u2q)
     fr = Frame.from_normal(n_area)
     d_loc = square_to_cosine_hemisphere(u_dir)
     d_area = fr.to_world(d_loc)
@@ -279,6 +283,13 @@ def render_ptracer(scene, spp=None, seed=0, max_depth=None,
                    return_stats=False):
     """Full ptracer render: n_paths = H * W * spp light subpaths."""
     cfg = scene.config
+    if getattr(scene.sensor, "child_types", None) is not None:
+        # batch sensors store a (B,) sensor_type array; int() below would
+        # raise an opaque TypeError (round-4 advisor finding)
+        raise ValueError(
+            "integrator 'ptracer' does not support the 'batch' sensor: "
+            "light-path camera connections need a single camera"
+        )
     st = int(scene.sensor.sensor_type)
     if st not in (PERSPECTIVE, THINLENS):
         raise ValueError("ptracer supports perspective/thinlens sensors only")

@@ -77,3 +77,7 @@ class DirectionSample(NamedTuple):
     pdf: jnp.ndarray
     radiance: jnp.ndarray
     delta: jnp.ndarray
+    # area-measure density of the sampled point for surface (area) emitters
+    # (sel_pmf * prim_pmf / prim_area); 0 for directional/env/delta
+    # emitters. Used by the BDPT MIS ratios (render/bdpt.py).
+    p_area: jnp.ndarray = None

@@ -84,7 +84,7 @@ def test_unknown_integrator_rejected():
         _ = mct.load_dict(
             {
                 "type": "scene",
-                "integrator": {"type": "bdpt"},
+                "integrator": {"type": "metropolis_lt"},
                 "sphere": {"type": "sphere", "center": [0, 0, 0],
                            "radius": 1.0,
                            "bsdf": {"type": "diffuse"}},
