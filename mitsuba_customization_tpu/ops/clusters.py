@@ -56,12 +56,13 @@ from mitsuba_customization_tpu.render import geometry as geo
 from mitsuba_customization_tpu.render.records import Ray
 
 LANE = 128
-# Default packet: 2048 lanes = one 16x16 pixel block at 8 spp. Smaller
-# packets shrink each tile's union of visited clusters (incoherent rays
-# pay per-visit cost for every lane in the tile), at the price of more
-# grid steps; TILE_ROWS is therefore a launch parameter (sweep in
-# scripts/profile_cluster2.py).
-TILE_ROWS = 16
+# Default packet: 4096 lanes. Larger packets amortize per-visit slab work
+# better once the entry-ordered descent prunes most visits (round-5
+# sweep, PROFILE_order_r05.json: bounce closest 124 ms @ 32 rows vs
+# 147 @ 16 at 2M sorted rays; primary 83 vs 102); smaller packets shrink
+# each tile's union of visited clusters. TILE_ROWS stays a launch
+# parameter for per-pass tuning.
+TILE_ROWS = 32
 TILE = TILE_ROWS * LANE
 
 L = 32       # prims per cluster (slab slot count)
@@ -612,6 +613,21 @@ def _pad_rays(ray: Ray, tile=TILE):
     return o, d, maxt, n, npad
 
 
+def _ray_vma(o):
+    """Varying-mesh-axes of the ray operands (shard_map tracing): Pallas
+    out_shapes must declare the same vma or check_vma rejects the call."""
+    try:
+        return jax.typeof(o).vma
+    except AttributeError:
+        return frozenset()
+
+
+def _sds(shape, dtype, vma):
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _closest_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
     o, d, maxt = rays
@@ -630,8 +646,8 @@ def _closest_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
     s_pad = max(LANE, (cs.n_super + LANE - 1) // LANE * LANE)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(
-            (OUT_ROWS, npad // LANE, LANE), jnp.float32
+        out_shape=_sds(
+            (OUT_ROWS, npad // LANE, LANE), jnp.float32, _ray_vma(o)
         ),
         grid=grid,
         in_specs=[lane_spec] * 7 + [smem(), smem(), smem(),
@@ -702,7 +718,7 @@ def _shadow_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
     s_pad = max(LANE, (cs.n_super + LANE - 1) // LANE * LANE)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(shape2, jnp.float32),
+        out_shape=_sds(shape2, jnp.float32, _ray_vma(o)),
         grid=grid,
         in_specs=[lane_spec] * 7 + [smem(), smem(), smem(),
                                     pl.BlockSpec(memory_space=pl.ANY)],

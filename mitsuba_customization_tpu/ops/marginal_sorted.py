@@ -40,6 +40,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 SENT = 0x7FFFFFFF
 LANE = 128
+
+def _sds_vma(shape, dtype, ref):
+    """ShapeDtypeStruct carrying the varying-mesh-axes of `ref` (required
+    by shard_map's check_vma for Pallas outputs; no-op outside meshes)."""
+    try:
+        vma = jax.typeof(ref).vma
+    except AttributeError:
+        vma = None
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
 TILE_ROWS = 16
 TILE = TILE_ROWS * LANE
 _BIG = 3e38
@@ -196,7 +208,7 @@ def _cond_impl(condT, key, ucol, cells, n_h, n_w, interpret):
     )
     x, mo, mn, mc = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * 4,
+        out_shape=[_sds_vma(shape2, jnp.float32, key)] * 4,
         grid=grid,
         in_specs=[
             lane_spec,

@@ -39,7 +39,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SENT = 0x7FFFFFFF  # python int: avoids capture as a traced kernel constant
+SENT = 0x7FFFFFFF
+
+def _sds_vma(shape, dtype, ref):
+    """ShapeDtypeStruct carrying the varying-mesh-axes of `ref` (required
+    by shard_map's check_vma for Pallas outputs; no-op outside meshes)."""
+    try:
+        vma = jax.typeof(ref).vma
+    except AttributeError:
+        vma = None
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+  # python int: avoids capture as a traced kernel constant
 LANE = 128
 TILE_ROWS = 16  # lanes per tile = TILE_ROWS * LANE = 2048
 TILE = TILE_ROWS * LANE
@@ -294,7 +306,7 @@ def _eval_sorted_impl(perm, key, fpack, updf, n_pd, interpret):
     )
     r, g, b = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)] * 3,
+        out_shape=[_sds_vma(shape2, jnp.float32, key)] * 3,
         grid=grid,
         in_specs=[
             lane_spec,

@@ -216,10 +216,11 @@ def loss_and_grad_sharded(scene, params, target, mesh=None, spp=None, seed=0):
         mesh=mesh,
         in_specs=(P(), P(), P(axes)),
         out_specs=(P(), P()),
-        # check_vma=False: Pallas calls (the interpret-mode cluster
-        # kernels on CPU meshes) cannot annotate varying-mesh-axes on
-        # their out_shapes; semantics (incl. the implicit grad psum from
-        # the replicated params transpose) are unchanged.
+        # check_vma=False: the Pallas kernels on the sharded path cannot
+        # participate in vma tracking (their kernel bodies mix varying
+        # refs with literals, and the pvary op has no TPU lowering).
+        # Without vma checking shard_map does NOT insert the implicit
+        # psum for the replicated-params gradient — it is EXPLICIT below.
         check_vma=False,
     )
     def body(scene_rep, params_rep, target_in):
@@ -248,12 +249,14 @@ def loss_and_grad_sharded(scene, params, target, mesh=None, spp=None, seed=0):
 
         loss, grads = jax.value_and_grad(local_loss)(params_rep)
         loss = jax.lax.psum(loss, axes)
-        # NOTE: no explicit psum on grads. params_rep enters shard_map
-        # replicated (in_specs=P()), so the AD transpose of its broadcast
-        # into the varying render IS a psum — value_and_grad already
-        # returns the globally-reduced gradient (this is where XLA
-        # overlaps the all-reduce with the backward sweep). An explicit
-        # psum on top double-counts by the mesh size.
+        # With check_vma=False the AD transpose of the replicated-params
+        # broadcast does NOT insert the reduction — each shard holds its
+        # local partial gradient here. The explicit psum IS the gradient
+        # all-reduce (P6); XLA's latency-hiding scheduler overlaps it
+        # with the rest of the backward sweep.
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, axes), grads
+        )
         return loss, grads
 
     return body(scene, params, target)

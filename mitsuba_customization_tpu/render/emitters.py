@@ -278,21 +278,22 @@ def sample_direction(
         jnp.zeros_like(mask_const),
     )
 
-    # ---- envmap ----
-    mask_env = et == ENVMAP
-    uv_e, p_sq = table.env_dist.sample(u2)
-    d_e = _env_dir_from_uv(uv_e, table.env_to_world)
-    sin_t = jnp.sin(uv_e[..., 0] * jnp.pi)
-    pdf_e = m.safe_div(p_sq, 2.0 * jnp.pi * jnp.pi * sin_t)
-    rad_e = env_radiance(table, d_e) * take_rows(table.radiance, k)
-    put(
-        mask_env,
-        d_e,
-        jnp.full(dist.shape, jnp.inf),
-        pdf_e,
-        rad_e,
-        jnp.zeros_like(mask_env),
-    )
+    # ---- envmap (structurally gated: a real envmap has > 1 texel) ----
+    if table.env_image.size > 3:
+        mask_env = et == ENVMAP
+        uv_e, p_sq = table.env_dist.sample(u2)
+        d_e = _env_dir_from_uv(uv_e, table.env_to_world)
+        sin_t = jnp.sin(uv_e[..., 0] * jnp.pi)
+        pdf_e = m.safe_div(p_sq, 2.0 * jnp.pi * jnp.pi * sin_t)
+        rad_e = env_radiance(table, d_e) * take_rows(table.radiance, k)
+        put(
+            mask_env,
+            d_e,
+            jnp.full(dist.shape, jnp.inf),
+            pdf_e,
+            rad_e,
+            jnp.zeros_like(mask_env),
+        )
 
     # ---- point ----
     mask_point = et == POINT
@@ -463,9 +464,10 @@ def pdf_miss_direction(table: EmitterTable, d_world):
     has_const = table.background_index >= 0
     const_sel = table.select.eval_pmf(jnp.maximum(table.background_index, 0))
     p = p + jnp.where(has_const, const_sel * INV_FOUR_PI, 0.0)
-    has_env = table.env_index >= 0
-    env_sel = table.select.eval_pmf(jnp.maximum(table.env_index, 0))
-    p = p + jnp.where(has_env, env_sel * _env_pdf(table, d_world), 0.0)
+    if table.env_image.size > 3:
+        has_env = table.env_index >= 0
+        env_sel = table.select.eval_pmf(jnp.maximum(table.env_index, 0))
+        p = p + jnp.where(has_env, env_sel * _env_pdf(table, d_world), 0.0)
     return p
 
 
@@ -475,11 +477,12 @@ def eval_background(table: EmitterTable, d_world):
     has_const = table.background_index >= 0
     bi = jnp.maximum(table.background_index, 0)
     rad = rad + jnp.where(has_const, table.radiance[bi], 0.0)
-    has_env = table.env_index >= 0
-    ei = jnp.maximum(table.env_index, 0)
-    rad = rad + jnp.where(
-        has_env, env_radiance(table, d_world) * table.radiance[ei], 0.0
-    )
+    if table.env_image.size > 3:
+        has_env = table.env_index >= 0
+        ei = jnp.maximum(table.env_index, 0)
+        rad = rad + jnp.where(
+            has_env, env_radiance(table, d_world) * table.radiance[ei], 0.0
+        )
     return rad
 
 

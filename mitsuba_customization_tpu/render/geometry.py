@@ -272,6 +272,10 @@ def interaction_from_g(g: Geometry, ray: Ray, t, prim, u, v):
         prim=jnp.where(valid, prim, -1),
         mat_id=jnp.where(valid, g.mat_id, 0),
         emitter=jnp.where(valid, g.emitter_id, -1),
+        bary=jnp.where(
+            (valid & is_tri)[..., None],
+            jnp.stack([u, v], axis=-1), 0.0,
+        ),
     )
 
 

@@ -52,6 +52,25 @@ _BLOCK = 16
 MAX_WAVEFRONT = 1 << 21
 
 
+def texcoords(scene, si):
+    """Texture-coordinate vector for BSDF dispatch: plain (..., 2) uv, or
+    the widened [u, v, bary_u, bary_v, prim(, px, py, pz)] when the scene
+    binds mesh_attribute / volume textures (models/texture.py
+    TC_FULL/TC_VOL). The branch is static: `attr`/`vol_grid` are
+    structural pytree facts of the texture stack."""
+    st = scene.bsdfs.stacks.get(bsdf_mod.TEXTURED_DIFFUSE)
+    if st is None:
+        return si.uv
+    has_attr = getattr(st, "attr", None) is not None
+    has_vol = getattr(st, "vol_grid", None) is not None
+    if not (has_attr or has_vol):
+        return si.uv
+    parts = [si.uv, si.bary, si.prim.astype(jnp.float32)[..., None]]
+    if has_vol:
+        parts.append(si.p)
+    return jnp.concatenate(parts, axis=-1)
+
+
 def mis_weight(pdf_a, pdf_b):
     """Power heuristic (beta=2) — mitsuba3 path.cpp mis_weight."""
     a2 = pdf_a * pdf_a
@@ -142,6 +161,12 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
     """
     n = ray0.o.shape[:-1]
     has_emitters = bool(scene.emitters.n_emitters > 0)
+    # Reflective-only scenes (no transmissive kernel present — a static
+    # build fact): an NEE sample below the shading horizon has f = 0 for
+    # every present kernel, so its shadow ray is provably wasted work.
+    refl_only = not (
+        set(scene.bsdfs.present_kernels) & bsdf_mod.TRANSMISSIVE_KERNELS
+    )
     sg = jax.lax.stop_gradient
     # Mutable holder: the compacting runner swaps in a prefix-sliced
     # sampler each bounce; the plain runners leave it untouched.
@@ -194,6 +219,14 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
 
         active = active & si.valid
 
+        # Final unrolled bounce: NEE (b+2 <= max_depth) and the
+        # continuation (b+1 < max_depth) are both statically dead — the
+        # emitter-hit accumulation above is the bounce's only output, so
+        # skip the whole shade/shadow/spawn tail.
+        if static_b is not None and static_b == max_depth - 1:
+            dead = active & False
+            return (ray, thr, L, dead, prev_pdf, prev_delta), n_rays
+
         # ---- NEE direction + fused per-bounce BSDF work ----
         # One bounce_shade dispatch covers {eval_pdf toward the light,
         # BSDF sampling, attached eval at the sampled wo} — each kernel
@@ -213,13 +246,15 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
             )
             nee_ok = active & (ds.pdf > 0.0) & (b + 2 <= max_depth)
             wo_local = si.to_local(ds.d)
+            if refl_only:
+                nee_ok = nee_ok & (m.cos_theta(wo_local) > 0.0)
         else:
             wo_local = si.wi
 
         f_nee, bsdf_pdf_nee, wo, bsdf_pdf, weight, is_delta, f_attached = (
             bsdf_mod.bounce_shade(
                 scene.bsdfs, si.mat_id, si.wi, wo_local, u2, u_lobe,
-                uv=si.uv, need_attached=ad_mode, has_nee=has_emitters,
+                uv=texcoords(scene, si), need_attached=ad_mode, has_nee=has_emitters,
                 active=active, coherent=(coherent0 and static_b == 0),
             )
         )
@@ -536,6 +571,15 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
             media, mid, ray.o, ray.d, t_surf, med_seed, lane, med_base,
             ad_mode=ad_mode,
         )
+        # emissive media (SURVEY.md §2.4 media row): collision-estimator
+        # emission at real scatter events, weighted by sigma_a/sigma_t
+        # (render/medium.py MediumSample.emitted)
+        if ms.emitted is not None:
+            L = L + jnp.where(
+                active[..., None],
+                thr * (ms.emitted if ad_mode else sg(ms.emitted)),
+                0.0,
+            )
         thr = thr * jnp.where(active[..., None], sg(ms.weight) if not ad_mode
                               else ms.weight, 1.0)
         med_event = active & ms.is_medium
@@ -571,6 +615,14 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
         real_surf = surf_event & jnp.logical_not(is_null)
         null_surf = surf_event & is_null
 
+        # Final unrolled bounce: NEE and continuation are statically dead
+        # (see trace_paths) — emitter hits + medium emission above are the
+        # only live outputs.
+        if static_b is not None and static_b == max_depth - 1:
+            return (
+                ray, thr, L, active & False, prev_pdf, prev_delta, mid
+            ), n_rays
+
         # ---- NEE direction + fused per-bounce BSDF work ----
         smp_nee = smp.with_dim(CAMERA_DIMS + bu * BOUNCE_DIMS + _OFF_NEE)
         u2 = smp.next_2d()
@@ -591,7 +643,7 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
         (f_surf, pdf_surf, wo_b, bsdf_pdf, weight_b, is_delta_b,
          f_attached) = bsdf_mod.bounce_shade(
             scene.bsdfs, si.mat_id, si.wi, wo_local, u2, u_lobe,
-            uv=si.uv, need_attached=ad_mode, has_nee=has_emitters,
+            uv=texcoords(scene, si), need_attached=ad_mode, has_nee=has_emitters,
             active=real_surf, coherent=(coherent0 and static_b == 0),
         )
 

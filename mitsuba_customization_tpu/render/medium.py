@@ -88,6 +88,9 @@ class MediumTable(NamedTuple):
                    (grids are zero-padded into the shared stack)
     majorant:      (K,) scalar majorant of mean extinction (delta tracking)
     shape_interior:(S,) int32 medium id entered through shape s (-1 = vacuum)
+    emission:      (K, 3) emitted radiance Le (emissive media — the 0.6
+                   stack's medium emission capability; sigma_a = (1 -
+                   albedo) * sigma_t scales it at collision events)
     """
 
     m_type: jnp.ndarray
@@ -101,6 +104,7 @@ class MediumTable(NamedTuple):
     grid_dims: jnp.ndarray
     majorant: jnp.ndarray
     shape_interior: jnp.ndarray
+    emission: jnp.ndarray = None
 
     @property
     def n_media(self):
@@ -121,6 +125,7 @@ def empty_table(n_shapes=1):
         grid_dims=jnp.ones((0, 3), jnp.int32),
         majorant=jnp.zeros((0,)),
         shape_interior=jnp.full((max(n_shapes, 1),), -1, jnp.int32),
+        emission=jnp.zeros((0, 3)),
     )
 
 
@@ -214,6 +219,10 @@ class MediumSample(NamedTuple):
     is_medium: jnp.ndarray
     t: jnp.ndarray
     weight: jnp.ndarray
+    # collision-estimator emission: tr * sigma_a * Le / pdf at the sampled
+    # event (zero for pass-through / non-emissive media); add
+    # thr_before_weight * emitted to L on medium events
+    emitted: jnp.ndarray = None
 
 
 def sample_interaction(table: MediumTable, mid, ray_o, ray_d, t_max,
@@ -231,11 +240,18 @@ def sample_interaction(table: MediumTable, mid, ray_o, ray_d, t_max,
     if k == 0:
         ones = jnp.ones(ray_o.shape[:-1] + (3,))
         f = jnp.zeros(ray_o.shape[:-1])
-        return MediumSample(is_medium=f > 1.0, t=f, weight=ones)
+        return MediumSample(
+            is_medium=f > 1.0, t=f, weight=ones, emitted=ones * 0.0
+        )
 
     is_het = table.m_type[safe] == HETEROGENEOUS
     sig = table.sigma_t[safe]  # (..., 3)
     alb = table.albedo[safe]
+    le = (
+        table.emission[safe]
+        if table.emission is not None
+        else jnp.zeros_like(alb)
+    )
 
     # ---- homogeneous: analytic (mitsuba3 homogeneous.cpp) ----
     u_ch = _draw(seed, lane, dim_base)
@@ -258,10 +274,14 @@ def sample_interaction(table: MediumTable, mid, ray_o, ray_d, t_max,
     tr_t = jnp.exp(-sig * jnp.minimum(t_hom, t_max)[..., None])
     pdf_scat = sg(jnp.mean(sig * tr_t, axis=-1))  # channel-avg density
     pdf_pass = sg(jnp.mean(tr_t, axis=-1))
+    base_hom = m.safe_div(tr_t * sig, pdf_scat[..., None])
     w_hom = jnp.where(
         scat_hom[..., None],
-        m.safe_div(tr_t * sig * alb, pdf_scat[..., None]),
+        base_hom * alb,
         m.safe_div(tr_t, pdf_pass[..., None]),
+    )
+    em_hom = jnp.where(
+        scat_hom[..., None], base_hom * (1.0 - alb) * le, 0.0
     )
 
     # ---- heterogeneous: weighted delta tracking ----
@@ -300,17 +320,23 @@ def sample_interaction(table: MediumTable, mid, ray_o, ray_d, t_max,
         _, _, _, done, _ = state
         return jnp.logical_not(jnp.all(done))
 
-    zero_t = jnp.zeros(t_max.shape)
+    # carries derive data-dependently from t_max so their varying-mesh
+    # annotation matches the loop outputs under shard_map (scan-vma rule);
+    # t_max may be +inf (inf * 0 = NaN would poison every where-gradient)
+    zero_t = jnp.where(jnp.isfinite(t_max), t_max, 0.0) * 0.0
     need_het = in_medium & is_het
     init = (
         _U32(0),
         zero_t,
-        jnp.ones(t_max.shape + (3,)),
+        zero_t[..., None] + jnp.ones(3),
         jnp.logical_not(need_het),
-        jnp.zeros(t_max.shape, bool),
+        zero_t > 1.0,
     )
     _, t_het, w_het, _, scat_het = _tracking_loop(
         dt_cond, dt_body, init, ad_mode
+    )
+    em_het = jnp.where(
+        scat_het[..., None], w_het * (1.0 - alb) * le, 0.0
     )
     w_het = jnp.where(scat_het[..., None], w_het * alb, w_het)
 
@@ -319,7 +345,13 @@ def sample_interaction(table: MediumTable, mid, ray_o, ray_d, t_max,
     weight = jnp.where(
         in_medium[..., None], jnp.where(is_het[..., None], w_het, w_hom), 1.0
     )
-    return MediumSample(is_medium=is_medium, t=t_s, weight=weight)
+    emitted = jnp.where(
+        in_medium[..., None], jnp.where(is_het[..., None], em_het, em_hom),
+        0.0,
+    )
+    return MediumSample(
+        is_medium=is_medium, t=t_s, weight=weight, emitted=emitted
+    )
 
 
 # --------------------------------------------------------------------------
@@ -372,8 +404,8 @@ def transmittance(table: MediumTable, mid, ray_o, ray_d, dist,
     need_het = in_medium & is_het
     init = (
         _U32(0),
-        jnp.zeros(d_fin.shape),
-        jnp.ones(d_fin.shape + (3,)),
+        d_fin * 0.0,
+        (d_fin * 0.0)[..., None] + jnp.ones(3),
         jnp.logical_not(need_het),
     )
     _, _, tr_het, _ = _tracking_loop(rt_cond, rt_body, init, ad_mode)
@@ -423,6 +455,7 @@ def build_table(media_rows, shape_interior, n_shapes):
     world_to_grid = np.zeros((k, 3, 4), np.float32)
     grid_dims = np.ones((k, 3), np.int32)
     majorant = np.zeros(k, np.float32)
+    emission = np.zeros((k, 3), np.float32)
     grids = []
     max_shape = (1, 1, 1)
     for i, row in enumerate(media_rows):
@@ -433,6 +466,8 @@ def build_table(media_rows, shape_interior, n_shapes):
         albedo[i] = np.asarray(row["albedo"], np.float32)
         phase_type[i] = row.get("phase_type", 0)
         phase_g[i] = row.get("phase_g", 0.0)
+        if row.get("emission") is not None:
+            emission[i] = np.asarray(row["emission"], np.float32)
         if m_type[i] == HETEROGENEOUS:
             dens = np.asarray(row["density"], np.float32)
             grid_slot[i] = len(grids)
@@ -477,4 +512,5 @@ def build_table(media_rows, shape_interior, n_shapes):
         grid_dims=jnp.asarray(grid_dims),
         majorant=jnp.asarray(majorant),
         shape_interior=jnp.asarray(si),
+        emission=jnp.asarray(emission),
     )

@@ -54,6 +54,10 @@ class SurfaceInteraction(NamedTuple):
     prim: jnp.ndarray
     mat_id: jnp.ndarray
     emitter: jnp.ndarray
+    # raw triangle barycentrics (u, v) of the hit (zeros for analytic
+    # prims) — mesh_attribute textures interpolate per-corner attributes
+    # with them (models/texture.py TC_FULL)
+    bary: jnp.ndarray = None
 
     def to_world(self, v_local):
         return self.frame.to_world(v_local)

@@ -539,6 +539,36 @@ def load_dict(d: dict) -> Scene:
                 uv_scale=spec.get("uv_scale", (1.0, 1.0)),
                 image=np.asarray(img, np.float32),
             )
+        if ttype == "volume":
+            # mitsuba3 src/textures/volume.cpp: a 3-D grid sampled at the
+            # surface point (spatially-varying BSDF parameters). The grid
+            # is (D, H, W) scalar or (D, H, W, 3) rgb; `to_world` places
+            # its unit cube in the scene.
+            grid = spec.get("grid", spec.get("volume"))
+            if grid is None:
+                raise ValueError("volume texture needs a 'grid'")
+            return dict(
+                type=tex_mod.VOLUME,
+                value0=np.full(
+                    3, np.asarray(spec.get("scale", 1.0), np.float32)
+                ),
+                value1=np.asarray(
+                    spec.get("fill", [0.0, 0.0, 0.0]), np.float32
+                ),
+                image=None,
+                volume=np.asarray(grid, np.float32),
+                vol_to_world=_as_transform(spec.get("to_world")),
+            )
+        if ttype == "mesh_attribute":
+            # mitsuba3 src/textures/mesh_attribute.cpp: interpolate a
+            # named per-vertex attribute. Shapes declare the data as
+            # "vertex_colors" (any (V, 3) attribute); `scale` multiplies.
+            s = np.asarray(spec.get("scale", 1.0), np.float32)
+            return dict(
+                type=tex_mod.MESH_ATTRIBUTE,
+                value0=np.full(3, s) if s.ndim == 0 else s,
+                image=None,
+            )
         raise ValueError(f"unsupported texture type '{ttype}'")
 
     def compile_bsdf(bd: Any) -> int:
@@ -652,7 +682,7 @@ def load_dict(d: dict) -> Scene:
         if btype == "diffuse":
             refl = bd.get("reflectance", [0.5, 0.5, 0.5])
             if isinstance(refl, dict) and refl.get("type") in (
-                "bitmap", "checkerboard",
+                "bitmap", "checkerboard", "mesh_attribute", "volume",
             ):
                 # spatially-varying reflectance -> textured kernel
                 texture_rows.append(compile_texture_row(refl))
@@ -821,7 +851,15 @@ def load_dict(d: dict) -> Scene:
             phase_g=float(phase.get("g", 0.0)),
             density=None,
             to_world=None,
+            # emissive media: sigma_a-weighted emission at collisions
+            emission=(
+                rgb3("radiance", [0.0, 0.0, 0.0])
+                if ("radiance" in md or "emission" in md)
+                else None
+            ),
         )
+        if row["emission"] is None and "emission" in md:
+            row["emission"] = rgb3("emission", [0.0, 0.0, 0.0])
         if mtype == "heterogeneous":
             dens = md.get("density")
             if isinstance(dens, dict):  # gridvolume form
@@ -856,6 +894,7 @@ def load_dict(d: dict) -> Scene:
     sdf_shape = None
     shape_count = 0
     emissive_prim_ranges = []  # (emitter_id, prim_start, prim_end)
+    attr_spans = []  # (prim_start, (F, 9) corner colors) per attributed mesh
 
     shapegroups: dict[str, dict] = {}
 
@@ -930,6 +969,13 @@ def load_dict(d: dict) -> Scene:
                 f = np.asarray(val["faces"], np.int32)
                 n = val.get("normals")
                 uv = val.get("uvs")
+                vc = val.get("vertex_colors")
+                if vc is not None:
+                    # per-prim corner rows for mesh_attribute textures
+                    vc = np.asarray(vc, np.float32)
+                    attr_spans.append(
+                        (gb.count, vc[f].reshape(len(f), 9))
+                    )
             elif t == "rectangle":
                 v, f, uv = _unit_rectangle()
                 n = None
@@ -1185,8 +1231,20 @@ def load_dict(d: dict) -> Scene:
             TabulatedBRDF.build_stack
         )(jnp.asarray(np.stack(tab_tables)))
     if texture_rows:
+        attr_np = None
+        if attr_spans:
+            attr_np = np.zeros((max(gb.count, 1), 9), np.float32)
+            for a_start, rows9 in attr_spans:
+                attr_np[a_start:a_start + len(rows9)] = rows9
+        if any(
+            r["type"] == tex_mod.MESH_ATTRIBUTE for r in texture_rows
+        ) and attr_np is None:
+            raise ValueError(
+                "mesh_attribute texture needs a mesh shape declaring "
+                "'vertex_colors'"
+            )
         kernel_stacks[bsdf_mod.TEXTURED_DIFFUSE] = tex_mod.build_stack(
-            texture_rows
+            texture_rows, attr=attr_np
         )
     if not mat_types:
         mat_types, mat_slots = [bsdf_mod.DIFFUSE], [0]
@@ -1420,9 +1478,15 @@ def _build_emitter_table(
         env_to_world=jnp.asarray(env_to_world),
         env_index=jnp.asarray(env_row, dtype=jnp.int32),
         background_index=jnp.asarray(const_row, dtype=jnp.int32),
-        em_prim_emitter=jnp.asarray(
-            np.asarray(q_owner, np.int32) if q_owner
-            else np.zeros(1, np.int32)
+        # None when no directionalarea emitter exists — a STRUCTURAL
+        # pytree fact that lets sample_direction skip its per-lane
+        # beam-projection intersections entirely (static under jit)
+        em_prim_emitter=(
+            jnp.asarray(np.asarray(q_owner, np.int32))
+            if q_owner and any(
+                r["type"] == em_mod.DIRECTIONALAREA for r in em_rows
+            )
+            else None
         ),
         proj_image=jnp.asarray(
             proj_image if proj_image is not None
@@ -1433,7 +1497,10 @@ def _build_emitter_table(
             else np.eye(3, dtype=np.float32)
         ),
         proj_tan=jnp.asarray(proj_tan, dtype=jnp.float32),
-        proj_index=jnp.asarray(proj_row, dtype=jnp.int32),
+        proj_index=(
+            jnp.asarray(proj_row, dtype=jnp.int32) if proj_row >= 0
+            else None
+        ),
         em_geom=jax.tree_util.tree_map(
             lambda a: jnp.asarray(np.asarray(a)[em_prims]), geometry
         ),

@@ -186,6 +186,7 @@ def interaction(sdf: SDFGrid, ray: Ray, t, hit, p_local):
         prim=zero,
         mat_id=zero + sdf.mat_id,
         emitter=zero - 1,
+        bary=jnp.zeros(t.shape + (2,)),
         )
 
 

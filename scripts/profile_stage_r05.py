@@ -95,6 +95,13 @@ def main():
     f_int = jax.jit(lambda sc, r: sc.ray_intersect(r).t)
     rec["primary_intersect_ms"] = timeit(f_int, scene, ray0)
     print("primary_intersect_ms", rec["primary_intersect_ms"])
+    from mitsuba_customization_tpu.ops import clusters as cl_mod
+
+    f_int32 = jax.jit(
+        lambda sc, r: cl_mod.intersect(sc.clusters, r, tile_rows=32)[0]
+    )
+    rec["primary_intersect_tr32_ms"] = timeit(f_int32, scene, ray0)
+    print("primary_intersect_tr32_ms", rec["primary_intersect_tr32_ms"])
 
     # ---- capture bounce-0 products (si, NEE dir, wo, next ray) ----
     @jax.jit

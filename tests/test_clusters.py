@@ -161,3 +161,44 @@ def test_scene_cluster_render_matches_bvh():
         cl_mod.intersect, cl_mod.occluded = orig_i, orig_o
         scene_mod.Scene._mode = orig_mode
     assert np.allclose(img_cl, img_bvh, rtol=1e-3, atol=1e-4)
+
+
+def test_capacity_fallback_pinned(monkeypatch, caplog):
+    """Scenes past the cluster capacity contract fall back to the BVH
+    with a LOUD warning (round-4 verdict: the ~20x perf cliff must not
+    be silent). Pinned with a shrunken MAX_PRIMS so the test stays
+    cheap."""
+    import logging
+
+    import mitsuba_customization_tpu as mct
+    from mitsuba_customization_tpu.render import scene as scene_mod
+    from mitsuba_customization_tpu.utils.meshgen import icosphere_blob
+
+    v, f = icosphere_blob(n_sub=2)  # 320 faces
+
+    def build(n_cap):
+        monkeypatch.setattr(cl, "MAX_PRIMS", n_cap)
+        return mct.load_dict(
+            {
+                "type": "scene",
+                "sensor": {
+                    "type": "perspective",
+                    "film": {"width": 8, "height": 8},
+                },
+                "blob": {"type": "mesh", "vertices": v, "faces": f,
+                         "bsdf": {"type": "diffuse"}},
+                "sky": {"type": "constant", "radiance": [1, 1, 1]},
+            }
+        )
+
+    # under the cap: cluster structure built
+    sc = build(1000)
+    assert sc.config.intersector == "cluster"
+    assert sc.clusters is not None
+
+    # over the cap: BVH fallback + warning
+    with caplog.at_level(logging.WARNING, "mitsuba_customization_tpu"):
+        sc2 = build(100)
+    assert sc2.config.intersector == "bvh"
+    assert sc2.clusters is None
+    assert any("capacity contract" in r.message for r in caplog.records)

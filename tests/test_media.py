@@ -439,3 +439,46 @@ def test_volume_recovery_sigma():
     assert final < 0.35 * loss0, (loss0, final)
     sig = float(np.asarray(params["medium.sigma_t"]).mean())
     assert 1.1 < sig < 2.2, sig
+
+
+def test_emissive_medium_analytic():
+    """Emissive homogeneous medium (0.6-stack capability): a pure
+    absorber-emitter (albedo 0) ball seen through its center must match
+    the analytic L = Le * (1 - exp(-sigma * 2r)) transport solution."""
+    import mitsuba_customization_tpu as mct
+    from mitsuba_customization_tpu.render.integrator import render
+    from mitsuba_customization_tpu.render.sensors import look_at
+
+    sigma = 0.8
+    le = np.asarray([2.0, 1.5, 1.0])
+    r = 1.0
+    scene = mct.load_dict(
+        {
+            "type": "scene",
+            "integrator": {"type": "volpath", "max_depth": 16},
+            "sensor": {
+                "type": "perspective",
+                "fov": 30,
+                "to_world": look_at([0, 0, -4.0], [0, 0, 0], [0, 1, 0]),
+                "film": {"width": 16, "height": 16},
+                "sampler": {"type": "independent", "sample_count": 128},
+            },
+            "ball": {
+                "type": "sphere", "center": [0, 0, 0], "radius": r,
+                "bsdf": {"type": "null"},
+                "interior": {
+                    "type": "homogeneous",
+                    "sigma_t": [sigma, sigma, sigma],
+                    "albedo": [0.0, 0.0, 0.0],
+                    "radiance": list(le),
+                },
+            },
+        }
+    )
+    img = np.asarray(render(scene, spp=128, seed=5))
+    assert np.isfinite(img).all()
+    center = img[8, 8]
+    expect = le * (1.0 - np.exp(-sigma * 2 * r))
+    assert np.allclose(center, expect, rtol=0.15), (center, expect)
+    # corners look past the ball -> black (no other emitters)
+    assert img[0, 0].max() < 0.05
