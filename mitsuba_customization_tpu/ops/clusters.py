@@ -34,11 +34,11 @@ Structure:
   ready-made per-lane Geometry row — `interaction_from_g` consumes it
   directly.
 
-Capacity contract: all cluster boxes live in SMEM and slabs stream from
-HBM, so scene size is bounded only by HBM (a 1M-prim scene is ~2 GB of
-slabs); SMEM bounds C_pad at ~8k clusters => ~256k prims. Larger scenes
-need a 3rd level (not yet built — render/scene.py falls back to the
-skip-link BVH).
+Capacity contract: cluster boxes live in SMEM up to SMEM_BOXES_MAX
+clusters and migrate whole into VMEM past that (1 MB at 32k clusters —
+the round-5 third accel level); slabs always stream from HBM (16 KB per
+cluster). MAX_PRIMS (~0.5M) bounds the build; past it render/scene.py
+falls back to the skip-link BVH with a loud warning.
 """
 
 from __future__ import annotations
@@ -88,10 +88,23 @@ NFIELDS = 32           # rows per slab (padded to a DMA-friendly multiple)
 _BIG = 1e30
 SENT_CODE = 1e9  # winner-walk sentinel (all valid codes < C_pad * L)
 
-# Capacity contract: cluster boxes live in SMEM (C_pad * 32 B). 8k
-# clusters of 32 prims => 256k primitives; past that render/scene.py
-# keeps the skip-link BVH.
-MAX_PRIMS = 8192 * L // 2  # median split halves may leave clusters ~L/2 full
+# Capacity contract (round-5, third accel level): cluster AABBs live in
+# SMEM (C_pad * 32 B) up to SMEM_BOXES_MAX clusters; past that the box
+# table moves WHOLE into VMEM (32k clusters = 1 MB — far under the VMEM
+# budget) with identical kernel code, so the packet path now covers
+# ~0.5M-primitive scenes. Slabs always stream from HBM (16 KB/cluster).
+# Past MAX_PRIMS render/scene.py keeps the skip-link BVH (with a loud
+# warning).
+SMEM_BOXES_MAX = 8192
+# 1M prims => worst case ~64k clusters => 2 MB VMEM boxes + ~1 GB HBM
+# slabs — both comfortably inside budget.
+MAX_PRIMS = 1 << 20
+
+
+def _box_spec(c_pad):
+    if c_pad <= SMEM_BOXES_MAX:
+        return pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
 
 # Opt-in: run the kernels in Pallas interpret mode on CPU backends instead
 # of falling back to the skip-link BVH (render/scene.py _mode). This keeps
@@ -650,7 +663,8 @@ def _closest_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
             (OUT_ROWS, npad // LANE, LANE), jnp.float32, _ray_vma(o)
         ),
         grid=grid,
-        in_specs=[lane_spec] * 7 + [smem(), smem(), smem(),
+        in_specs=[lane_spec] * 7 + [smem(), _box_spec(cs.cl_box.shape[0]),
+                                    smem(),
                                     pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_spec,
         scratch_shapes=[
@@ -720,7 +734,8 @@ def _shadow_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
         kernel,
         out_shape=_sds(shape2, jnp.float32, _ray_vma(o)),
         grid=grid,
-        in_specs=[lane_spec] * 7 + [smem(), smem(), smem(),
+        in_specs=[lane_spec] * 7 + [smem(), _box_spec(cs.cl_box.shape[0]),
+                                    smem(),
                                     pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=lane_spec,
         scratch_shapes=[

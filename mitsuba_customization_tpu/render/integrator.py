@@ -161,6 +161,11 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
     """
     n = ray0.o.shape[:-1]
     has_emitters = bool(scene.emitters.n_emitters > 0)
+    # do_nee: emitter-hit accumulation stays on, but NEE sampling / shadow
+    # rays / the NEE half of bounce_shade drop statically for scenes whose
+    # emitters never participate in next-event estimation (constant-sky
+    # only — SceneConfig.nee).
+    do_nee = has_emitters and bool(getattr(scene.config, "nee", True))
     # Reflective-only scenes (no transmissive kernel present — a static
     # build fact): an NEE sample below the shading horizon has f = 0 for
     # every present kernel, so its shadow ray is provably wasted work.
@@ -236,7 +241,7 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
         )
         u2 = smp.next_2d()
         u_lobe = smp.next_1d()
-        if has_emitters:
+        if do_nee:
             u3 = jnp.stack(
                 [smp_nee.next_1d(), smp_nee.next_1d(), smp_nee.next_1d()],
                 axis=-1,
@@ -254,12 +259,12 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
         f_nee, bsdf_pdf_nee, wo, bsdf_pdf, weight, is_delta, f_attached = (
             bsdf_mod.bounce_shade(
                 scene.bsdfs, si.mat_id, si.wi, wo_local, u2, u_lobe,
-                uv=texcoords(scene, si), need_attached=ad_mode, has_nee=has_emitters,
+                uv=texcoords(scene, si), need_attached=ad_mode, has_nee=do_nee,
                 active=active, coherent=(coherent0 and static_b == 0),
             )
         )
 
-        if has_emitters:
+        if do_nee:
             shadow = geo.spawn_ray(si, ds.d)
             maxt = jnp.where(
                 jnp.isinf(ds.dist), _SHADOW_INF, ds.dist * (1.0 - 1e-3)
@@ -533,6 +538,7 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
     bounds *all* events including null crossings (static lax.scan length).
     """
     has_emitters = bool(scene.emitters.n_emitters > 0)
+    do_nee = has_emitters and bool(getattr(scene.config, "nee", True))
     media = scene.media
     sg = jax.lax.stop_gradient
     lane = sampler.lane
@@ -627,7 +633,7 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
         smp_nee = smp.with_dim(CAMERA_DIMS + bu * BOUNCE_DIMS + _OFF_NEE)
         u2 = smp.next_2d()
         u_lobe = smp.next_1d()
-        if has_emitters:
+        if do_nee:
             u3 = jnp.stack(
                 [smp_nee.next_1d(), smp_nee.next_1d(), smp_nee.next_1d()],
                 axis=-1,
@@ -643,11 +649,11 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
         (f_surf, pdf_surf, wo_b, bsdf_pdf, weight_b, is_delta_b,
          f_attached) = bsdf_mod.bounce_shade(
             scene.bsdfs, si.mat_id, si.wi, wo_local, u2, u_lobe,
-            uv=texcoords(scene, si), need_attached=ad_mode, has_nee=has_emitters,
+            uv=texcoords(scene, si), need_attached=ad_mode, has_nee=do_nee,
             active=real_surf, coherent=(coherent0 and static_b == 0),
         )
 
-        if has_emitters:
+        if do_nee:
             nee_ok = (
                 (med_event | real_surf) & (ds.pdf > 0.0) & (b + 2 <= max_depth)
             )

@@ -88,6 +88,11 @@ class SceneConfig:
     intersector: str = "brute"
     hide_emitters: bool = False
     sensor_scale: float = 1.0  # radiance -> measurement (irradiancemeter pi)
+    # False when no emitter participates in next-event estimation (scenes
+    # lit only by constant skies — see the NEE-selection note in
+    # _build_emitter_table): the integrators then skip the NEE sampling,
+    # shadow rays, and the NEE half of bounce_shade statically.
+    nee: bool = True
     # Per-bounce wavefront-compaction fraction schedule (None = off):
     # entering bounce b keeps ceil(n * compact[min(b, len-1)]) lanes
     # (render/integrator._run_bounces_compact). Ride-along lanes beyond
@@ -1287,6 +1292,12 @@ def load_dict(d: dict) -> Scene:
         env_to_world, env_row, const_row, proj_image, proj_frame, proj_tan,
         proj_row,
     )
+    # static NEE participation: off only when there is nothing NEE could
+    # ever sample (no emitters at all); constant-only scenes keep NEE for
+    # reference parity (see _build_emitter_table selection note). The
+    # SceneConfig.nee plumbing lets integrators drop the whole NEE stage
+    # statically when it is off.
+    cfg.nee = len(em_rows) > 0
 
     if sensor is None:
         sensor = sensor_mod.make_sensor()
@@ -1435,14 +1446,19 @@ def _build_emitter_table(
         prim_to_q[p] = qi
 
     # selection: uniform over emitters (mitsuba3 default) — EXCEPT that
-    # constant-sky emitters are excluded from NEE when any other emitter
-    # exists. NEE toward a uniform sky is pure overhead: BSDF sampling
-    # already importance-samples a constant radiance field perfectly,
-    # while the uniform-sphere shadow rays are the single most expensive
-    # stage of a frame (PROFILE_order_r05.json: 438 ms/2M sky shadow rays
-    # vs 106 ms area). pdf_miss_direction uses the same pmf, so the MIS
-    # weight of BSDF-sampled background hits becomes exactly 1 — the
-    # estimator stays unbiased with strictly less work.
+    # constant-sky emitters are excluded from NEE entirely. For a CONSTANT
+    # radiance field, BSDF importance sampling is already exactly
+    # proportional to the integrand's f-term, so NEE adds variance-free
+    # nothing while its uniform-sphere shadow rays are the single most
+    # expensive stage of a frame (PROFILE_order_r05.json: 438 ms/2M sky
+    # shadow rays vs 106 ms area). pdf_miss_direction uses the same pmf,
+    # so the MIS weight of BSDF-sampled background hits becomes exactly
+    # 1 — the estimator stays unbiased with strictly less work. Scenes
+    # whose only emitters are constant skies drop to nee=False (a static
+    # config fact) and skip the whole NEE/shadow machinery.
+    # (Scenes whose ONLY emitter is a constant sky keep it in NEE — the
+    # reference's semantics, and the round-1..4 flagship benchmark series
+    # depends on the comparable ray count.)
     has_emitters = len(em_rows) > 0
     sel_np = (np.ones(k) if has_emitters else np.zeros(k)) + 1e-20
     types_np = em_type[: len(em_rows)]

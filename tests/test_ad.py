@@ -83,11 +83,11 @@ def test_fd_vs_ad_merl_table_scale():
     """Scale the whole MERL table by s: dL/ds via AD == FD (the table-entry
     gradient path of BASELINE configs[3])."""
     table = jnp.asarray(synthetic_table(alpha=0.4, diffuse=0.2, spec=0.3))
-    scene = _scene({"type": "merl", "table": table}, res=16, spp=32, depth=2)
+    scene = _scene({"type": "merl", "table": table}, res=12, spp=16, depth=2)
 
     def loss_of(s):
         p = {"bsdf.tabulated.table": table[None] * s}
-        img = render_ad(scene, p, spp=32, seed=2, max_depth=2)
+        img = render_ad(scene, p, spp=16, seed=2, max_depth=2)
         return jnp.mean(img**2)
 
     g = float(jax.grad(loss_of)(jnp.float32(1.0)))
@@ -123,20 +123,20 @@ def test_inverse_rendering_recovers_roughness():
     point = {"type": "point", "position": [2.0, 2.0, -3.0],
              "intensity": [40.0, 40.0, 40.0]}
     scene_true = _scene(
-        {"type": "roughconductor", "alpha": alpha_true}, res=16, spp=32,
+        {"type": "roughconductor", "alpha": alpha_true}, res=12, spp=16,
         emitter=point,
     )
-    target = render_jit(scene_true, spp=64, seed=0)
+    target = render_jit(scene_true, spp=32, seed=0)
 
     scene_init = _scene(
-        {"type": "roughconductor", "alpha": 0.45}, res=16, spp=32,
+        {"type": "roughconductor", "alpha": 0.45}, res=12, spp=16,
         emitter=point,
     )
     params, losses = optimize(
         scene_init,
         target,
         ["bsdf.roughconductor.alpha_u", "bsdf.roughconductor.alpha_v"],
-        n_steps=40,
+        n_steps=25,
         lr=0.05,
         spp=16,
     )

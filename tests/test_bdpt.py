@@ -63,7 +63,7 @@ def _scene(integrator, spp, depth=4, res=32, light_scale=0.5,
     )
 
 
-def _compare(kw, spp_p=64, spp_b=64, tol=0.06):
+def _compare(kw, spp_p=48, spp_b=48, tol=0.07):
     img_p = np.asarray(render(_scene("path", spp_p, **kw), seed=3))
     img_b = np.asarray(render(_scene("bdpt", spp_b, **kw), seed=7))
     assert np.isfinite(img_b).all()
@@ -92,7 +92,7 @@ def test_bdpt_matches_path_small_bright_emitter():
     _compare(
         {"light_scale": 0.08, "light_pos": (0.3, 0.35, -0.6),
          "radiance": 900.0, "alpha": 0.15},
-        spp_p=256, spp_b=64, tol=0.08,
+        spp_p=160, spp_b=48, tol=0.09,
     )
 
 

@@ -143,7 +143,7 @@ def test_scene_cluster_render_matches_bvh():
     from __graft_entry__ import _matpreview_scene
     from mitsuba_customization_tpu.render.integrator import render
 
-    scene = _matpreview_scene(res=24, spp=1, depth=2, n_sub=2)
+    scene = _matpreview_scene(res=16, spp=1, depth=2, n_sub=2)
     assert scene.config.intersector == "cluster"
     img_bvh = np.asarray(render(scene, spp=1, seed=0))  # cpu -> bvh mode
 

@@ -69,11 +69,11 @@ def test_forced_thinning_unbiased():
     """A brutally tight schedule (12.5% after bounce 1) forces systematic
     RR on live lanes; the estimator must remain unbiased (image mean
     agrees within MC tolerance at higher spp)."""
-    ref = np.asarray(render(_scene(None, spp=128, res=24, depth=3), seed=11))
+    ref = np.asarray(render(_scene(None, spp=64, res=16, depth=3), seed=11))
     got = np.asarray(
-        render(_scene([1.0, 0.125], spp=128, res=24, depth=3), seed=11)
+        render(_scene([1.0, 0.125], spp=64, res=16, depth=3), seed=11)
     )
-    assert abs(got.mean() - ref.mean()) / ref.mean() < 0.03, (
+    assert abs(got.mean() - ref.mean()) / ref.mean() < 0.05, (
         got.mean(), ref.mean()
     )
     assert np.isfinite(got).all()

@@ -460,8 +460,8 @@ def test_emissive_medium_analytic():
                 "type": "perspective",
                 "fov": 30,
                 "to_world": look_at([0, 0, -4.0], [0, 0, 0], [0, 1, 0]),
-                "film": {"width": 16, "height": 16},
-                "sampler": {"type": "independent", "sample_count": 128},
+                "film": {"width": 12, "height": 12},
+                "sampler": {"type": "independent", "sample_count": 64},
             },
             "ball": {
                 "type": "sphere", "center": [0, 0, 0], "radius": r,
@@ -475,9 +475,9 @@ def test_emissive_medium_analytic():
             },
         }
     )
-    img = np.asarray(render(scene, spp=128, seed=5))
+    img = np.asarray(render(scene, spp=64, seed=5))
     assert np.isfinite(img).all()
-    center = img[8, 8]
+    center = img[6, 6]
     expect = le * (1.0 - np.exp(-sigma * 2 * r))
     assert np.allclose(center, expect, rtol=0.15), (center, expect)
     # corners look past the ball -> black (no other emitters)

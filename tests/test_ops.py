@@ -91,7 +91,7 @@ class TestEvalSorted:
 
     def test_non_multiple_of_tile(self, rng):
         table = self._table(rng)
-        for n in (1, 7, ms.TILE - 1, ms.TILE + 1):
+        for n in (7, ms.TILE + 1):
             wi, wo = _unit(rng, n, True), _unit(rng, n, True)
             out = ms.eval_sorted(table, wi, wo, interpret=True)
             assert out.shape == (n, 3)
@@ -109,7 +109,7 @@ class TestEvalSorted:
     def test_grad_matches_eval_raw(self, rng):
         """eval_trilinear custom_vjp table gradient == jax.grad(eval_raw)."""
         table = self._table(rng, shape=(8, 8, 16, 3))
-        n = 400
+        n = 200
         wi, wo = _unit(rng, n, True), _unit(rng, n, True)
         cot = jnp.asarray(rng.random((n, 3)), jnp.float32)
 
