@@ -235,13 +235,18 @@ def build(geom: geo.Geometry) -> ClusterSet:
 # ---------------------------------------------------------------------------
 
 
-def _box_entry(box_ref, c, o, inv, t_best):
-    """Scalar-box vs lane-bundle slab test; returns (hit mask, t_entry)."""
+def _box_entry(box_at, c, o, inv, t_best):
+    """Scalar-box vs lane-bundle slab test; returns (hit mask, t_entry).
+
+    box_at(c, k) is a scalar accessor closure — SMEM box tables are
+    stored FLAT (c * 8 + k indexing; 2-D SMEM arrays pad the minor axis
+    to the 512-B sublane stride, 16x the footprint), VMEM tables stay
+    (C, 8)."""
     near = None
     far = None
     for k in range(3):
-        lo = (box_ref[c, k] - o[k]) * inv[k]
-        hi = (box_ref[c, 3 + k] - o[k]) * inv[k]
+        lo = (box_at(c, k) - o[k]) * inv[k]
+        hi = (box_at(c, 3 + k) - o[k]) * inv[k]
         tmin = jnp.minimum(lo, hi)
         tmax = jnp.maximum(lo, hi)
         near = tmin if near is None else jnp.maximum(near, tmin)
@@ -383,9 +388,15 @@ def _slot_tests_tri_only(slab, o, d):
 OUT_ROWS = 3 + NFIELDS
 
 
-def _closest_kernel(n_super, tile_rows, ox_ref, oy_ref, oz_ref, dx_ref,
-                    dy_ref, dz_ref, maxt_ref, scb_ref, clb_ref, meta_ref,
-                    slabs_ref, out_ref, slab, cache_ref, sem, ent_ref):
+def _closest_kernel(n_super, tile_rows, cl_in_smem, ox_ref, oy_ref,
+                    oz_ref, dx_ref, dy_ref, dz_ref, maxt_ref, scb_ref,
+                    clb_ref, meta_ref, slabs_ref, out_ref, slab, cache_ref,
+                    sem, ent_ref):
+    sc_at = lambda c, k: scb_ref[c * 8 + k]  # SMEM tables are flat
+    cl_at = (
+        (lambda c, k: clb_ref[c * 8 + k]) if cl_in_smem
+        else (lambda c, k: clb_ref[c, k])
+    )
     o = (ox_ref[:], oy_ref[:], oz_ref[:])
     d = (dx_ref[:], dy_ref[:], dz_ref[:])
     inv = tuple(
@@ -411,7 +422,7 @@ def _closest_kernel(n_super, tile_rows, ox_ref, oy_ref, oz_ref, dx_ref,
 
     def visit_cluster(c, carry):
         t_best = out_ref[0]
-        hit, _t_in = _box_entry(clb_ref, c, o, inv, t_best)
+        hit, _t_in = _box_entry(cl_at, c, o, inv, t_best)
 
         @pl.when(jnp.any(hit))
         def _():
@@ -445,7 +456,7 @@ def _closest_kernel(n_super, tile_rows, ox_ref, oy_ref, oz_ref, dx_ref,
     t_init = out_ref[0]
 
     def entry_pass(s, carry):
-        hit, near = _box_entry(scb_ref, s, o, inv, t_init)
+        hit, near = _box_entry(sc_at, s, o, inv, t_init)
         e = jnp.min(jnp.where(hit, near, _BIG))
         ent_ref[:, :] = jnp.where(col == s, e, ent_ref[:, :])
         return 0
@@ -521,15 +532,21 @@ def _closest_kernel(n_super, tile_rows, ox_ref, oy_ref, oz_ref, dx_ref,
     out_ref[0] = jnp.where(missed, _BIG, out_ref[0])
 
 
-def _shadow_kernel(n_super, tile_rows, ox_ref, oy_ref, oz_ref, dx_ref,
-                   dy_ref, dz_ref, maxt_ref, scb_ref, clb_ref, meta_ref,
-                   slabs_ref, hit_ref, slab, cache_ref, sem, ent_ref):
+def _shadow_kernel(n_super, tile_rows, cl_in_smem, ox_ref, oy_ref,
+                   oz_ref, dx_ref, dy_ref, dz_ref, maxt_ref, scb_ref,
+                   clb_ref, meta_ref, slabs_ref, hit_ref, slab, cache_ref,
+                   sem, ent_ref):
     """Any-hit variant: hit_ref (TILE_ROWS, LANE) f32 1.0 = occluded.
     A lane that finds any hit drops out of further box tests; the tile
     skips whole groups once every live lane is resolved. Superclusters
     are visited nearest-entry-first (most occluders sit near the ray
     origin — surface self-shadowing), so occluded lanes die in the first
     visits and the tile's live set collapses early."""
+    sc_at = lambda c, k: scb_ref[c * 8 + k]
+    cl_at = (
+        (lambda c, k: clb_ref[c * 8 + k]) if cl_in_smem
+        else (lambda c, k: clb_ref[c, k])
+    )
     o = (ox_ref[:], oy_ref[:], oz_ref[:])
     d = (dx_ref[:], dy_ref[:], dz_ref[:])
     inv = tuple(1.0 / jnp.where(jnp.abs(c) < 1e-12, 1e-12, c) for c in d)
@@ -547,7 +564,7 @@ def _shadow_kernel(n_super, tile_rows, ox_ref, oy_ref, oz_ref, dx_ref,
     def visit_cluster(c, _):
         live = active & (hit_ref[:] == 0.0)
         t_cap = jnp.where(live, maxt, 0.0)
-        boxhit, _ = _box_entry(clb_ref, c, o, inv, t_cap)
+        boxhit, _ = _box_entry(cl_at, c, o, inv, t_cap)
 
         @pl.when(jnp.any(boxhit))
         def _():
@@ -572,7 +589,7 @@ def _shadow_kernel(n_super, tile_rows, ox_ref, oy_ref, oz_ref, dx_ref,
     t_cap0 = jnp.where(active, maxt, 0.0)
 
     def entry_pass(s, carry):
-        hit, near = _box_entry(scb_ref, s, o, inv, t_cap0)
+        hit, near = _box_entry(sc_at, s, o, inv, t_cap0)
         e = jnp.min(jnp.where(hit, near, _BIG))
         ent_ref[:, :] = jnp.where(col == s, e, ent_ref[:, :])
         return 0
@@ -655,7 +672,10 @@ def _closest_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
         memory_space=pltpu.VMEM,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    kernel = functools.partial(_closest_kernel, cs.n_super, tile_rows)
+    cl_in_smem = cs.cl_box.shape[0] <= SMEM_BOXES_MAX
+    kernel = functools.partial(
+        _closest_kernel, cs.n_super, tile_rows, cl_in_smem
+    )
     s_pad = max(LANE, (cs.n_super + LANE - 1) // LANE * LANE)
     out = pl.pallas_call(
         kernel,
@@ -673,6 +693,13 @@ def _closest_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM((1, s_pad), jnp.float32),
         ],
+        # VMEM-resident box tables (cl_in_smem=False) push the scoped
+        # vmem footprint past the 16 MB default on big scenes; v5e has
+        # 128 MB of VMEM, so raise the Mosaic limit for this kernel.
+        compiler_params=(
+            None if cl_in_smem
+            else pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+        ),
         interpret=interpret,
     )(
         o[:, 0].reshape(shape2), o[:, 1].reshape(shape2),
@@ -680,7 +707,9 @@ def _closest_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
         d[:, 0].reshape(shape2), d[:, 1].reshape(shape2),
         d[:, 2].reshape(shape2),
         maxt.reshape(shape2),
-        cs.sc_box, cs.cl_box, cs.cl_meta, cs.slabs,
+        cs.sc_box.reshape(-1),
+        cs.cl_box.reshape(-1) if cl_in_smem else cs.cl_box,
+        cs.cl_meta, cs.slabs,
     )
     return out.reshape(OUT_ROWS, npad)
 
@@ -728,7 +757,10 @@ def _shadow_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
         (tile_rows, LANE), lambda t: (t, 0), memory_space=pltpu.VMEM
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    kernel = functools.partial(_shadow_kernel, cs.n_super, tile_rows)
+    cl_in_smem = cs.cl_box.shape[0] <= SMEM_BOXES_MAX
+    kernel = functools.partial(
+        _shadow_kernel, cs.n_super, tile_rows, cl_in_smem
+    )
     s_pad = max(LANE, (cs.n_super + LANE - 1) // LANE * LANE)
     out = pl.pallas_call(
         kernel,
@@ -744,6 +776,13 @@ def _shadow_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM((1, s_pad), jnp.float32),
         ],
+        # VMEM-resident box tables (cl_in_smem=False) push the scoped
+        # vmem footprint past the 16 MB default on big scenes; v5e has
+        # 128 MB of VMEM, so raise the Mosaic limit for this kernel.
+        compiler_params=(
+            None if cl_in_smem
+            else pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+        ),
         interpret=interpret,
     )(
         o[:, 0].reshape(shape2), o[:, 1].reshape(shape2),
@@ -751,7 +790,9 @@ def _shadow_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
         d[:, 0].reshape(shape2), d[:, 1].reshape(shape2),
         d[:, 2].reshape(shape2),
         maxt.reshape(shape2),
-        cs.sc_box, cs.cl_box, cs.cl_meta, cs.slabs,
+        cs.sc_box.reshape(-1),
+        cs.cl_box.reshape(-1) if cl_in_smem else cs.cl_box,
+        cs.cl_meta, cs.slabs,
     )
     return out.reshape(npad)
 

@@ -62,7 +62,12 @@ def _timed(fn, iters=N_ITERS):
 
 
 def main():
-    res, spp, depth = 128, 8, 3
+    # Shard size matters: at 128^2 x 8spp / 8 devices each shard renders
+    # only 16k lanes and per-program fixed costs (dispatch, splat allocs,
+    # collective setup) dominate the ratio — that measures overhead, not
+    # the sharding design (real pod shards are orders of magnitude
+    # larger). 192^2 x 8 gives 37k lanes/shard, still CPU-affordable.
+    res, spp, depth = 192, 8, 3
     scene = _flagship_scene(res=res, spp=spp, depth=depth)
     # gaussian filter -> the sharded splat-slab halo-exchange path
     scene = dataclasses.replace(
