@@ -23,6 +23,7 @@ from mitsuba_customization_tpu.core import warp
 ISOTROPIC = 0
 HG = 1
 RAYLEIGH = 2
+SGGX = 3  # specular microflakes (Heitz et al. 2015; mitsuba3 sggx.cpp)
 
 INV_FOURPI = 1.0 / (4.0 * jnp.pi)
 
@@ -121,19 +122,146 @@ def rayleigh_sample(wi, sample2):
 
 
 # --------------------------------------------------------------------------
-# Static dispatch over (phase_type, g) lanes — medium.py calls these.
+# SGGX specular microflakes (Heitz, Dupuy, Crassin, Neyret 2015;
+# mitsuba3 src/phase/sggx.cpp). The distribution is a symmetric PSD
+# 3x3 matrix S packed as (..., 6) = [xx, yy, zz, xy, xz, yz]; the
+# specular flake phase f_p(wi -> wo) = D(h) / (4 sigma(wi)) with
+# h = normalize(wi + wo) is scale-invariant in S and integrates to 1,
+# so eval == pdf and the sample weight is 1 — same contract as the
+# other phases.
 # --------------------------------------------------------------------------
 
 
-def eval(phase_type, g, wi, wo):
-    """Per-lane phase density (== pdf)."""
+def _s_unpack(S):
+    return (S[..., 0], S[..., 1], S[..., 2],
+            S[..., 3], S[..., 4], S[..., 5])
+
+
+def _sggx_sigma(S, w):
+    """Projected flake area sigma(w) = sqrt(w^T S w)."""
+    xx, yy, zz, xy, xz, yz = _s_unpack(S)
+    x, y, z = w[..., 0], w[..., 1], w[..., 2]
+    q = (
+        x * x * xx + y * y * yy + z * z * zz
+        + 2.0 * (x * y * xy + x * z * xz + y * z * yz)
+    )
+    return m.safe_sqrt(q)
+
+
+def _sggx_det(S):
+    xx, yy, zz, xy, xz, yz = _s_unpack(S)
+    return (
+        xx * (yy * zz - yz * yz)
+        - xy * (xy * zz - yz * xz)
+        + xz * (xy * yz - yy * xz)
+    )
+
+
+def _sggx_ndf(S, h):
+    """D(h) = 1 / (pi sqrt(|S|) (h^T S^-1 h)^2)."""
+    xx, yy, zz, xy, xz, yz = _s_unpack(S)
+    det = jnp.maximum(_sggx_det(S), 1e-20)
+    # adjugate (cofactor) entries of S
+    a_xx = yy * zz - yz * yz
+    a_yy = xx * zz - xz * xz
+    a_zz = xx * yy - xy * xy
+    a_xy = xz * yz - xy * zz
+    a_xz = xy * yz - xz * yy
+    a_yz = xy * xz - xx * yz
+    x, y, z = h[..., 0], h[..., 1], h[..., 2]
+    q = (
+        x * x * a_xx + y * y * a_yy + z * z * a_zz
+        + 2.0 * (x * y * a_xy + x * z * a_xz + y * z * a_yz)
+    ) / det
+    q = jnp.maximum(q, 1e-12)
+    return 1.0 / (jnp.pi * jnp.sqrt(det) * q * q)
+
+
+def sggx_eval(S, wi, wo):
+    h = m.normalize(wi + wo)
+    # wi == -wo (grazing fold): h degenerate; density -> finite via guard
+    sig = jnp.maximum(_sggx_sigma(S, wi), 1e-12)
+    return _sggx_ndf(S, h) / (4.0 * sig)
+
+
+def sggx_sample(S, wi, sample2):
+    """Visible-normal sampling (paper listing 4) + mirror reflection."""
+    wk, wj = m.coordinate_system(wi)
+    xx, yy, zz, xy, xz, yz = _s_unpack(S)
+
+    def quad(a, b):
+        ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
+        bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
+        return (
+            ax * bx * xx + ay * by * yy + az * bz * zz
+            + (ax * by + ay * bx) * xy
+            + (ax * bz + az * bx) * xz
+            + (ay * bz + az * by) * yz
+        )
+
+    s_kk = jnp.maximum(quad(wk, wk), 1e-12)
+    s_jj = jnp.maximum(quad(wj, wj), 1e-12)
+    s_ii = jnp.maximum(quad(wi, wi), 1e-12)
+    s_kj = quad(wk, wj)
+    s_ki = quad(wk, wi)
+    s_ji = quad(wj, wi)
+
+    det = jnp.maximum(_sggx_det(S), 1e-20)
+    tmp = m.safe_sqrt(jnp.maximum(s_jj * s_kk - s_kj * s_kj, 1e-20))
+    inv_sqrt_sii = 1.0 / jnp.sqrt(s_ii)
+    mk = jnp.stack(
+        [jnp.sqrt(det) / tmp, jnp.zeros_like(tmp), jnp.zeros_like(tmp)],
+        axis=-1,
+    )
+    mj = jnp.stack(
+        [
+            -inv_sqrt_sii * (s_ki * s_kj - s_kk * s_ji) / tmp,
+            inv_sqrt_sii * tmp,
+            jnp.zeros_like(tmp),
+        ],
+        axis=-1,
+    )
+    mi = jnp.stack(
+        [inv_sqrt_sii * s_ki, inv_sqrt_sii * s_ji, inv_sqrt_sii * s_ii],
+        axis=-1,
+    )
+
+    u1 = sample2[..., 0]
+    u2 = sample2[..., 1]
+    r = m.safe_sqrt(u1)
+    phi = 2.0 * jnp.pi * u2
+    pu = (r * jnp.cos(phi))[..., None]
+    pv = (r * jnp.sin(phi))[..., None]
+    pw = m.safe_sqrt(1.0 - pu[..., 0] ** 2 - pv[..., 0] ** 2)[..., None]
+    m_local = m.normalize(pu * mk + pv * mj + pw * mi)
+    # back to world: components along (wk, wj, wi)
+    normal = (
+        m_local[..., 0:1] * wk
+        + m_local[..., 1:2] * wj
+        + m_local[..., 2:3] * wi
+    )
+    normal = m.normalize(normal)
+    wo = m.normalize(2.0 * m.dot(normal, wi)[..., None] * normal - wi)
+    return wo, sggx_eval(S, wi, wo)
+
+
+# --------------------------------------------------------------------------
+# Static dispatch over (phase_type, g[, S]) lanes — medium.py calls these.
+# --------------------------------------------------------------------------
+
+
+def eval(phase_type, g, wi, wo, S=None):
+    """Per-lane phase density (== pdf). S: (..., 6) SGGX matrices or None
+    (a structural fact — scenes without sggx media pay nothing)."""
     out = iso_eval(wi, wo)
     out = jnp.where(phase_type == HG, hg_eval(g, wi, wo), out)
     out = jnp.where(phase_type == RAYLEIGH, rayleigh_eval(wi, wo), out)
+    if S is not None:
+        out = jnp.where(phase_type == SGGX, sggx_eval(S, wi, wo), out)
     return out
 
 
-def sample(phase_type, g, wi, sample2):
+def sample(phase_type, g, wi, sample2, S=None):
     """Per-lane phase sampling -> (wo, pdf). Weight is 1 (normalized)."""
     wo_i, pdf_i = iso_sample(wi, sample2)
     wo_h, pdf_h = hg_sample(g, wi, sample2)
@@ -144,4 +272,8 @@ def sample(phase_type, g, wi, sample2):
     pdf = jnp.where(
         phase_type == HG, pdf_h, jnp.where(phase_type == RAYLEIGH, pdf_r, pdf_i)
     )
+    if S is not None:
+        wo_s, pdf_s = sggx_sample(S, wi, sample2)
+        wo = jnp.where((phase_type == SGGX)[..., None], wo_s, wo)
+        pdf = jnp.where(phase_type == SGGX, pdf_s, pdf)
     return wo, pdf

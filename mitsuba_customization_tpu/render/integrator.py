@@ -598,6 +598,10 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
             else mid_safe
         )
         ph_g = take_rows(media.phase_g, mid_safe) if media.n_media else zero
+        ph_S = (
+            take_rows(media.phase_S, mid_safe)
+            if (media.n_media and media.phase_S is not None) else None
+        )
         wi_world = -ray.d  # points back along the ray (phase convention)
 
         # ---- emitter hits / escaped rays (only surface-reaching lanes) ----
@@ -658,7 +662,7 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
                 (med_event | real_surf) & (ds.pdf > 0.0) & (b + 2 <= max_depth)
             )
             # scatter function value + its pdf toward the light
-            ph_val = phase_mod.eval(ph_type, ph_g, wi_world, ds.d)
+            ph_val = phase_mod.eval(ph_type, ph_g, wi_world, ds.d, S=ph_S)
             f_scat = jnp.where(
                 med_event[..., None], ph_val[..., None], f_surf
             )
@@ -709,7 +713,7 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
             weight_b = jnp.where(is_delta_b[..., None], weight_b, w_nondelta)
         d_bsdf_world = si.to_world(wo_b)
 
-        wo_ph, ph_pdf = phase_mod.sample(ph_type, ph_g, wi_world, u2)
+        wo_ph, ph_pdf = phase_mod.sample(ph_type, ph_g, wi_world, u2, S=ph_S)
         wo_ph = sg(wo_ph)
         ph_pdf = sg(ph_pdf)
 

@@ -105,6 +105,9 @@ class MediumTable(NamedTuple):
     majorant: jnp.ndarray
     shape_interior: jnp.ndarray
     emission: jnp.ndarray = None
+    # (K, 6) SGGX matrices [xx, yy, zz, xy, xz, yz] — None when no sggx
+    # phase exists in the scene (structural gate; models/phase.py SGGX)
+    phase_S: jnp.ndarray = None
 
     @property
     def n_media(self):
@@ -456,6 +459,7 @@ def build_table(media_rows, shape_interior, n_shapes):
     grid_dims = np.ones((k, 3), np.int32)
     majorant = np.zeros(k, np.float32)
     emission = np.zeros((k, 3), np.float32)
+    phase_S = None
     grids = []
     max_shape = (1, 1, 1)
     for i, row in enumerate(media_rows):
@@ -468,6 +472,12 @@ def build_table(media_rows, shape_interior, n_shapes):
         phase_g[i] = row.get("phase_g", 0.0)
         if row.get("emission") is not None:
             emission[i] = np.asarray(row["emission"], np.float32)
+        if row.get("phase_S") is not None:
+            if phase_S is None:
+                phase_S = np.tile(
+                    np.asarray([1, 1, 1, 0, 0, 0], np.float32), (k, 1)
+                )
+            phase_S[i] = np.asarray(row["phase_S"], np.float32)
         if m_type[i] == HETEROGENEOUS:
             dens = np.asarray(row["density"], np.float32)
             grid_slot[i] = len(grids)
@@ -513,4 +523,5 @@ def build_table(media_rows, shape_interior, n_shapes):
         majorant=jnp.asarray(majorant),
         shape_interior=jnp.asarray(si),
         emission=jnp.asarray(emission),
+        phase_S=None if phase_S is None else jnp.asarray(phase_S),
     )

@@ -488,6 +488,7 @@ _PHASE_TYPES = {
     "isotropic": phase_mod.ISOTROPIC,
     "hg": phase_mod.HG,
     "rayleigh": phase_mod.RAYLEIGH,
+    "sggx": phase_mod.SGGX,
 }
 _BSDF_TYPES = {
     "diffuse", "conductor", "roughconductor", "dielectric", "thindielectric",
@@ -848,12 +849,27 @@ def load_dict(d: dict) -> Scene:
             val = np.asarray(val, dtype=np.float32)
             return np.full(3, val, np.float32) if val.ndim == 0 else val
 
+        phase_S = None
+        if ptype == phase_mod.SGGX:
+            # S given as the 6 unique entries [xx, yy, zz, xy, xz, yz] or
+            # as a diagonal "sigma" = projected areas (S = diag(sigma^2))
+            if "S" in phase:
+                phase_S = np.asarray(phase["S"], np.float32)
+            else:
+                sig = np.asarray(
+                    phase.get("sigma", [1.0, 1.0, 1.0]), np.float32
+                )
+                phase_S = np.asarray(
+                    [sig[0] ** 2, sig[1] ** 2, sig[2] ** 2, 0, 0, 0],
+                    np.float32,
+                )
         row = dict(
             type=mtype,
             sigma_t=rgb3("sigma_t", [1.0, 1.0, 1.0]) * scale,
             albedo=rgb3("albedo", [0.75, 0.75, 0.75]),
             phase_type=ptype,
             phase_g=float(phase.get("g", 0.0)),
+            phase_S=phase_S,
             density=None,
             to_world=None,
             # emissive media: sigma_a-weighted emission at collisions

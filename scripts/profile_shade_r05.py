@@ -116,7 +116,7 @@ def main():
     @jax.jit
     def eval2n(stack, wi2, wo2, slot2, mask2):
         return merl_sorted.eval_sorted(
-            stack.tables, wi2, wo2, slot=slot2, mask=mask2,
+            stack.table, wi2, wo2, slot=slot2, mask=mask2,
             perm=stack.perm)
     rec["eval_sorted_2N_ms"] = timeit(
         eval2n, stack, wi2, wo2, slot2, mask2)

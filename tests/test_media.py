@@ -482,3 +482,104 @@ def test_emissive_medium_analytic():
     assert np.allclose(center, expect, rtol=0.15), (center, expect)
     # corners look past the ball -> black (no other emitters)
     assert img[0, 0].max() < 0.05
+
+
+def test_sggx_phase_isotropic_limit_and_normalization():
+    """SGGX specular microflakes (models/phase.py SGGX): S = I collapses
+    to the isotropic phase exactly; anisotropic S stays a normalized
+    density and sample()'s pdf matches eval()."""
+    import jax
+    import jax.numpy as jnp
+
+    from mitsuba_customization_tpu.models import phase as ph
+
+    rng = np.random.RandomState(3)
+
+    def units(n):
+        v = rng.normal(size=(n, 3))
+        return jnp.asarray(
+            (v / np.linalg.norm(v, axis=-1, keepdims=True)).astype(
+                np.float32
+            )
+        )
+
+    n = 1 << 15
+    wi = units(n)
+    wo = units(n)
+
+    # S = I: f_p = 1/(4 pi) for every direction pair (exact)
+    S_iso = jnp.tile(jnp.asarray([1, 1, 1, 0, 0, 0], jnp.float32), (n, 1))
+    val = np.asarray(ph.sggx_eval(S_iso, wi, wo))
+    np.testing.assert_allclose(val, 1.0 / (4 * np.pi), rtol=1e-4)
+
+    # anisotropic fiber-like S: MC normalization over uniform sphere
+    S = jnp.tile(
+        jnp.asarray([1.0, 0.09, 0.25, 0.0, 0.0, 0.1], jnp.float32), (n, 1)
+    )
+    wi1 = jnp.tile(units(1), (n, 1))
+    integ = np.asarray(ph.sggx_eval(S, wi1, wo)).mean() * 4 * np.pi
+    assert abs(integ - 1.0) < 0.05, integ
+
+    # sample()/eval() consistency via a bounded moment (E[1/pdf] has
+    # unbounded variance for peaked lobes): for samples ~ p,
+    # E[g] must equal the uniform-sphere MC of g * eval * 4pi.
+    u2 = jnp.asarray(rng.rand(n, 2).astype(np.float32))
+    wo_s, pdf_s = jax.jit(ph.sggx_sample)(S, wi1, u2)
+    pdf_direct = np.asarray(ph.sggx_eval(S, wi1, wo_s))
+    np.testing.assert_allclose(
+        np.asarray(pdf_s), pdf_direct, rtol=1e-3, atol=1e-6
+    )
+    axis = np.asarray([0.3, 0.5, 0.81], np.float32)
+    axis /= np.linalg.norm(axis)
+
+    def g(w):
+        c = np.asarray(w) @ axis
+        return (1.0 + c) ** 2
+
+    mean_sampled = g(wo_s).mean()
+    mean_ref = (
+        g(wo) * np.asarray(ph.sggx_eval(S, wi1, wo))
+    ).mean() * 4 * np.pi
+    assert abs(mean_sampled - mean_ref) / mean_ref < 0.06, (
+        mean_sampled, mean_ref
+    )
+
+
+def test_sggx_volpath_render_finite():
+    """A fog ball with an SGGX phase renders through volpath."""
+    import mitsuba_customization_tpu as mct
+    from mitsuba_customization_tpu.render.integrator import render
+    from mitsuba_customization_tpu.render.sensors import look_at
+
+    scene = mct.load_dict(
+        {
+            "type": "scene",
+            "integrator": {"type": "volpath", "max_depth": 4},
+            "sensor": {
+                "type": "perspective", "fov": 40,
+                "to_world": look_at([0, 0, -3.5], [0, 0, 0], [0, 1, 0]),
+                "film": {"width": 12, "height": 12},
+                "sampler": {"type": "independent", "sample_count": 8},
+            },
+            "ball": {
+                "type": "sphere", "center": [0, 0, 0], "radius": 0.9,
+                "bsdf": {"type": "null"},
+                "interior": {
+                    "type": "homogeneous",
+                    "sigma_t": [1.2, 1.2, 1.2],
+                    "albedo": [0.9, 0.9, 0.9],
+                    "phase": {"type": "sggx",
+                              "S": [1.0, 0.09, 0.25, 0.0, 0.0, 0.1]},
+                },
+            },
+            "light": {
+                "type": "rectangle",
+                "to_world": {"rotate": {"axis": [1, 0, 0], "angle": 90},
+                             "scale": 1.0, "translate": [0, 2.8, 0]},
+                "emitter": {"type": "area", "radiance": [10, 10, 10]},
+            },
+        }
+    )
+    img = np.asarray(render(scene, spp=8, seed=2))
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.0
