@@ -326,7 +326,7 @@ def eval_pdf(table: BSDFTable, mat_id, wi, wo, uv=None):
 
 def bounce_shade(table: BSDFTable, mat_id, wi, wo_nee, sample2, sample1=None,
                  uv=None, need_attached=False, has_nee=True, active=None,
-                 coherent=False):
+                 coherent=False, nee_mask=None):
     """All BSDF work of one path-tracer bounce in one dispatch pass.
 
     Fuses {eval_pdf(wi, wo_nee), sample(wi, u), eval(wi, wo_sampled)} —
@@ -341,6 +341,12 @@ def bounce_shade(table: BSDFTable, mat_id, wi, wo_nee, sample2, sample1=None,
     f_att is the attached eval at the sampled wo (for the ad_mode detached
     estimator; None when need_attached=False). Scenes with blend materials
     fall back to the public eval/pdf/sample composition.
+
+    nee_mask: lanes whose NEE sample is live AND unoccluded — the
+    integrator traces the shadow ray BEFORE shading so occluded lanes
+    never enter the (expensive, sorted) tabulated NEE eval; their f_nee /
+    pdf_nee come back 0, which the contribution gate zeroes anyway.
+    Analytic kernels evaluate regardless (no per-lane cost to save).
     """
     if table.blend_a is not None:
         # blends resolve through the public API (mixture bookkeeping)
@@ -376,10 +382,12 @@ def bounce_shade(table: BSDFTable, mat_id, wi, wo_nee, sample2, sample1=None,
         if getattr(mod, "NEEDS_SLOT", kid == TABULATED) and hasattr(
             mod, "bounce_shade"
         ):
+            m_nee = mask if has_nee else jnp.zeros_like(mask)
+            if has_nee and nee_mask is not None:
+                m_nee = m_nee & nee_mask
             f_nee, p_nee, wo, p_s, weight, is_delta = mod.bounce_shade(
                 table.stacks[kid], wi, wo_nee, sample2, sample1,
-                slot=slot_safe, mask=mask,
-                mask_nee=mask if has_nee else jnp.zeros_like(mask),
+                slot=slot_safe, mask=mask, mask_nee=m_nee,
                 need_attached=need_attached, coherent=coherent,
             )
             # weight = f_attached / sg(pdf) exactly, so the attached eval

@@ -70,16 +70,35 @@ SAMPLE_PATH = None
 INTERPRET = False
 
 
-def _eval_path():
+# Below this static lane count the sorted segment kernels lose to plain
+# per-lane gathers: their segment-walk iteration count is bounded below by
+# the number of DISTINCT table cells the wavefront touches, which shrinks
+# sublinearly as compaction thins the late bounces (measured on v5e,
+# PROFILE_paths_r05.json: 64k-lane eval 21.2 ms sorted vs 10.8 ms raw
+# gather; sampling 5.1 vs 3.5 ms one-hot; crossover ~256k lanes). Auto
+# mode therefore picks by the STATIC wavefront size; forced EVAL_PATH /
+# SAMPLE_PATH (tests, dryrun) bypass the switch.
+SORTED_MIN_LANES = 1 << 18
+
+
+def _eval_path(n=None):
     if EVAL_PATH is not None:
         return EVAL_PATH
-    return "sorted" if jax.default_backend() == "tpu" else "packed"
+    if jax.default_backend() != "tpu":
+        return "packed"
+    if n is not None and n < SORTED_MIN_LANES:
+        return "raw"
+    return "sorted"
 
 
-def _sample_path():
+def _sample_path(n=None):
     if SAMPLE_PATH is not None:
         return SAMPLE_PATH
-    return "sorted" if jax.default_backend() == "tpu" else "onehot"
+    if jax.default_backend() != "tpu":
+        return "onehot"
+    if n is not None and n < SORTED_MIN_LANES:
+        return "onehot"
+    return "sorted"
 
 
 class TabulatedBRDF(NamedTuple):
@@ -338,7 +357,10 @@ def eval_f(params: TabulatedBRDF, wi, wo, slot=None, mask=None,
     coherence — ops/merl_sorted.eval_sorted docstring).
     """
     slot = _normalize_slot(params, slot)
-    if _eval_path() == "sorted" and params.perm is not None:
+    import numpy as _np
+
+    n_lanes = int(_np.prod(wi.shape[:-1])) if wi.ndim > 1 else 1
+    if _eval_path(n_lanes) == "sorted" and params.perm is not None:
         from mitsuba_customization_tpu.ops import merl_sorted
 
         lanes = wi.shape[:-1]
@@ -665,7 +687,7 @@ def bounce_shade(params: TabulatedBRDF, wi, wo_nee, sample2, sample1=None,
     flat_key = tbin if slot_safe is None else (
         slot_safe * N_THETA_I + tbin
     )
-    if _sample_path() == "sorted":
+    if _sample_path(n) == "sorted":
         x, mass_own, mass_nee, mass_cos = marginal_sorted.cond_sample_pdf(
             sg(params.condT), SAMPLE_RES_H, flat_key, u_col, r_own, r_nee,
             c_nee, r_cos, c_cos, any_mask, interpret=INTERPRET,

@@ -388,7 +388,7 @@ def _slot_tests_tri_only(slab, o, d):
 OUT_ROWS = 3 + NFIELDS
 
 
-def _closest_kernel(n_super, tile_rows, cl_in_smem, ox_ref, oy_ref,
+def _closest_kernel(n_super, tile_rows, cl_in_smem, ablate, ox_ref, oy_ref,
                     oz_ref, dx_ref, dy_ref, dz_ref, maxt_ref, scb_ref,
                     clb_ref, meta_ref, slabs_ref, out_ref, slab, cache_ref,
                     sem, ent_ref):
@@ -426,13 +426,17 @@ def _closest_kernel(n_super, tile_rows, cl_in_smem, ox_ref, oy_ref,
 
         @pl.when(jnp.any(hit))
         def _():
-            @pl.when(cache_ref[0] != c)
-            def _():
-                cp = pltpu.make_async_copy(slabs_ref.at[c], slab, sem)
-                cp.start()
-                cp.wait()
-                cache_ref[0] = c
+            if not (ablate & 1):  # ablate bit0: skip the slab DMA
+                @pl.when(cache_ref[0] != c)
+                def _():
+                    cp = pltpu.make_async_copy(slabs_ref.at[c], slab, sem)
+                    cp.start()
+                    cp.wait()
+                    cache_ref[0] = c
 
+            if ablate & 2:  # ablate bit1: skip the slot tests
+                out_ref[3] = jnp.where(hit, out_ref[3] + 0.0, out_ref[3])
+                return
             # Tri-only clusters (the common case for mesh scenes) skip
             # the sphere/cylinder slot math entirely.
             t_c, slot_c, u_c, v_c = jax.lax.cond(
@@ -525,7 +529,8 @@ def _closest_kernel(n_super, tile_rows, cl_in_smem, ox_ref, oy_ref,
         return nxt
 
     cur0 = jnp.min(jnp.where(win_code >= 0.0, win_code, SENT_CODE))
-    jax.lax.while_loop(win_cond, win_body, cur0)
+    if not (ablate & 4):  # ablate bit2: skip the winner-field walk
+        jax.lax.while_loop(win_cond, win_body, cur0)
 
     # misses: restore t = +inf semantics
     missed = win_code < 0.0
@@ -658,8 +663,9 @@ def _sds(shape, dtype, vma):
     return jax.ShapeDtypeStruct(shape, dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _closest_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _closest_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS,
+                  ablate=0):
     o, d, maxt = rays
     npad = o.shape[0]
     shape2 = (npad // LANE, LANE)
@@ -674,7 +680,7 @@ def _closest_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     cl_in_smem = cs.cl_box.shape[0] <= SMEM_BOXES_MAX
     kernel = functools.partial(
-        _closest_kernel, cs.n_super, tile_rows, cl_in_smem
+        _closest_kernel, cs.n_super, tile_rows, cl_in_smem, ablate
     )
     s_pad = max(LANE, (cs.n_super + LANE - 1) // LANE * LANE)
     out = pl.pallas_call(
@@ -715,13 +721,14 @@ def _closest_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
 
 
 def intersect(cs: ClusterSet, ray: Ray, interpret=False,
-              tile_rows=TILE_ROWS):
+              tile_rows=TILE_ROWS, ablate=0):
     """Closest-hit query. Returns (t, prim, u, v, g) where g is a per-lane
     Geometry row pytree (winner fields resolved in-kernel — no post-pass
-    gather). t = +inf and prim = -1 on miss."""
+    gather). t = +inf and prim = -1 on miss. `ablate` skips kernel stages
+    for profiling only (see _closest_kernel bits; results are garbage)."""
     interpret = _auto_interpret(interpret)
     o, d, maxt, n, npad = _pad_rays(ray, tile_rows * LANE)
-    out = _closest_impl(cs, (o, d, maxt), interpret, tile_rows)
+    out = _closest_impl(cs, (o, d, maxt), interpret, tile_rows, ablate)
     t = out[0, :n]
     u = out[1, :n]
     v = out[2, :n]

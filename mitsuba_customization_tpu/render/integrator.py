@@ -241,6 +241,7 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
         )
         u2 = smp.next_2d()
         u_lobe = smp.next_1d()
+        nee_vis = None
         if do_nee:
             u3 = jnp.stack(
                 [smp_nee.next_1d(), smp_nee.next_1d(), smp_nee.next_1d()],
@@ -253,18 +254,10 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
             wo_local = si.to_local(ds.d)
             if refl_only:
                 nee_ok = nee_ok & (m.cos_theta(wo_local) > 0.0)
-        else:
-            wo_local = si.wi
-
-        f_nee, bsdf_pdf_nee, wo, bsdf_pdf, weight, is_delta, f_attached = (
-            bsdf_mod.bounce_shade(
-                scene.bsdfs, si.mat_id, si.wi, wo_local, u2, u_lobe,
-                uv=texcoords(scene, si), need_attached=ad_mode, has_nee=do_nee,
-                active=active, coherent=(coherent0 and static_b == 0),
-            )
-        )
-
-        if do_nee:
+            # Shadow ray BEFORE shading: occluded lanes then skip the
+            # sorted tabulated NEE eval entirely (their f_nee = 0; the
+            # contribution is gated on visibility anyway). Visibility is
+            # independent of f, so masking the eval is exact.
             shadow = geo.spawn_ray(si, ds.d)
             maxt = jnp.where(
                 jnp.isinf(ds.dist), _SHADOW_INF, ds.dist * (1.0 - 1e-3)
@@ -274,6 +267,20 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
             shadow = Ray(o=shadow.o, d=shadow.d, maxt=maxt)
             occ = scene.ray_test(shadow)
             n_rays = n_rays + jnp.sum(nee_ok.astype(jnp.uint32))
+            nee_vis = nee_ok & jnp.logical_not(occ)
+        else:
+            wo_local = si.wi
+
+        f_nee, bsdf_pdf_nee, wo, bsdf_pdf, weight, is_delta, f_attached = (
+            bsdf_mod.bounce_shade(
+                scene.bsdfs, si.mat_id, si.wi, wo_local, u2, u_lobe,
+                uv=texcoords(scene, si), need_attached=ad_mode, has_nee=do_nee,
+                active=active, coherent=(coherent0 and static_b == 0),
+                nee_mask=nee_vis,
+            )
+        )
+
+        if do_nee:
             w_nee = jnp.where(
                 ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf_nee)
             )
@@ -283,9 +290,7 @@ def trace_paths(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
                 * ds.radiance
                 * sg(m.safe_div(w_nee, ds.pdf))[..., None]
             )
-            L = L + jnp.where(
-                (nee_ok & jnp.logical_not(occ))[..., None], contrib, 0.0
-            )
+            L = L + jnp.where(nee_vis[..., None], contrib, 0.0)
 
         # ---- BSDF-sampled continuation: spawn the next segment ----
         wo = sg(wo)
@@ -637,6 +642,7 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
         smp_nee = smp.with_dim(CAMERA_DIMS + bu * BOUNCE_DIMS + _OFF_NEE)
         u2 = smp.next_2d()
         u_lobe = smp.next_1d()
+        nee_vis = None
         if do_nee:
             u3 = jnp.stack(
                 [smp_nee.next_1d(), smp_nee.next_1d(), smp_nee.next_1d()],
@@ -647,27 +653,11 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
                 scene.emitters, scene.geometry, p_ref, u3
             )
             wo_local = si.to_local(ds.d)
-        else:
-            wo_local = si.wi
-
-        (f_surf, pdf_surf, wo_b, bsdf_pdf, weight_b, is_delta_b,
-         f_attached) = bsdf_mod.bounce_shade(
-            scene.bsdfs, si.mat_id, si.wi, wo_local, u2, u_lobe,
-            uv=texcoords(scene, si), need_attached=ad_mode, has_nee=do_nee,
-            active=real_surf, coherent=(coherent0 and static_b == 0),
-        )
-
-        if do_nee:
+            # Shadow ray BEFORE shading (see trace_paths): occluded lanes
+            # skip the tabulated NEE eval; visibility is independent of f.
             nee_ok = (
                 (med_event | real_surf) & (ds.pdf > 0.0) & (b + 2 <= max_depth)
             )
-            # scatter function value + its pdf toward the light
-            ph_val = phase_mod.eval(ph_type, ph_g, wi_world, ds.d, S=ph_S)
-            f_scat = jnp.where(
-                med_event[..., None], ph_val[..., None], f_surf
-            )
-            pdf_scat = jnp.where(med_event, ph_val, pdf_surf)
-            # shadow ray from the event point
             shadow_o = jnp.where(
                 med_event[..., None],
                 p_med,
@@ -679,6 +669,25 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
             maxt = jnp.where(nee_ok, maxt, 0.0)
             shadow = Ray(o=shadow_o, d=ds.d, maxt=maxt)
             occ = scene.ray_test(shadow)
+            nee_vis = nee_ok & jnp.logical_not(occ)
+        else:
+            wo_local = si.wi
+
+        (f_surf, pdf_surf, wo_b, bsdf_pdf, weight_b, is_delta_b,
+         f_attached) = bsdf_mod.bounce_shade(
+            scene.bsdfs, si.mat_id, si.wi, wo_local, u2, u_lobe,
+            uv=texcoords(scene, si), need_attached=ad_mode, has_nee=do_nee,
+            active=real_surf, coherent=(coherent0 and static_b == 0),
+            nee_mask=nee_vis,
+        )
+
+        if do_nee:
+            # scatter function value + its pdf toward the light
+            ph_val = phase_mod.eval(ph_type, ph_g, wi_world, ds.d, S=ph_S)
+            f_scat = jnp.where(
+                med_event[..., None], ph_val[..., None], f_surf
+            )
+            pdf_scat = jnp.where(med_event, ph_val, pdf_surf)
             if media.n_media:
                 # The current medium extends to the first boundary along the
                 # shadow ray (a null surface — anything occluding already
@@ -701,9 +710,7 @@ def trace_volpath(scene, ray0, sampler, max_depth, rr_depth, hide_emitters,
                 thr * f_scat * (tr if ad_mode else sg(tr)) * ds.radiance
                 * sg(m.safe_div(w_nee, ds.pdf))[..., None]
             )
-            L = L + jnp.where(
-                (nee_ok & jnp.logical_not(occ))[..., None], contrib, 0.0
-            )
+            L = L + jnp.where(nee_vis[..., None], contrib, 0.0)
 
         # ---- continuation: phase sample | bsdf sample | null passthrough --
         wo_b = sg(wo_b)
