@@ -104,7 +104,15 @@ def _gather_last(arr, idx):
     gather, which is the slow class on v5e.
     """
     if arr.ndim == 1:
-        return arr[jnp.clip(idx, 0, arr.shape[0] - 1)]
+        from mitsuba_customization_tpu.ops import onehot
+
+        ic = jnp.clip(idx, 0, arr.shape[0] - 1)
+        if arr.shape[0] <= onehot.MAX_ONEHOT_WIDTH:
+            # ANY per-lane XLA gather costs ~7 ns/lane on v5e (~15 ms at
+            # 2M lanes, even from a 2-entry table — round-5 frame trace);
+            # the one-hot MXU fetch is ~20x cheaper for small tables.
+            return onehot.take_rows(arr, ic)
+        return arr[ic]
     arr_b = jnp.broadcast_to(arr, idx.shape + arr.shape[-1:])
     return _select_at(arr_b, idx)
 
@@ -152,9 +160,18 @@ class DiscreteDistribution(NamedTuple):
         return DiscreteDistribution(pmf=self.pmf[idx], cdf=self.cdf[idx])
 
     def _rows(self, slice_):
-        """cdf/pmf rows for a lane-indexed slice tuple (lazy gather)."""
+        """cdf/pmf rows for a lane-indexed slice tuple.
+
+        Small stacks fetch rows via the one-hot MXU path (_fetch_stacked):
+        the native row gather costs ~22 ms per 2M lanes even from a (2, 2)
+        table (round-5 frame trace, emitter prim_dist)."""
         if slice_ is None:
             return self.pmf, self.cdf
+        if math.prod(self.pmf.shape[:-1]) <= 4096:
+            return (
+                _fetch_stacked(self.pmf, slice_),
+                _fetch_stacked(self.cdf, slice_),
+            )
         return self.pmf[slice_], self.cdf[slice_]
 
     def sample(self, u, slice_=None):
@@ -176,6 +193,12 @@ class DiscreteDistribution(NamedTuple):
     def eval_pmf(self, idx, slice_=None):
         if slice_ is None:
             return _gather_last(self.pmf, idx)
+        if (
+            math.prod(self.pmf.shape[:-1]) <= 4096
+            and self.pmf.shape[-1] <= 4096
+        ):
+            # one-hot row fetch + iota-select: no per-lane scalar gather
+            return _select_at(_fetch_stacked(self.pmf, slice_), idx)
         return self.pmf[slice_ + (idx,)]
 
 

@@ -65,6 +65,19 @@ LANE = 128
 TILE_ROWS = 32
 TILE = TILE_ROWS * LANE
 
+
+def auto_tile_rows(n):
+    """Packet size by STATIC wavefront size. Compaction concentrates the
+    late-bounce survivors, so a 4096-lane tile of a small wavefront spans
+    a huge spatial region and visits many clusters; smaller packets cut
+    the per-visit (tile_rows, LANE) slot-test cost faster than the visit
+    count grows (round-5 sweep on real b2/b3 wavefronts)."""
+    if n >= 1 << 20:
+        return 32
+    if n >= 1 << 18:
+        return 16
+    return 8
+
 L = 32       # prims per cluster (slab slot count)
 GROUP = 16   # clusters per supercluster
 
@@ -388,10 +401,47 @@ def _slot_tests_tri_only(slab, o, d):
 OUT_ROWS = 3 + NFIELDS
 
 
+def _make_dma_helpers(ablate, slabs_ref, slab, cache_ref, sem):
+    """Double-buffered slab DMA with per-buffer resident/pending tracking.
+
+    cache_ref (SMEM, 5): [resident0, resident1, pending0, pending1,
+    hit-list count]. A start() into buffer b is skipped when the cluster
+    is already resident there; wait(b) is a no-op when nothing is in
+    flight. Callers alternate buffers (j % 2) so the next cluster's 16 KB
+    slab streams while the current one's 32-slot tests run — the DMA wait
+    was ~15 ms of the 85 ms 2M-lane bounce pass (PROFILE_visit_r05.json).
+    """
+
+    def start(c, b):
+        if ablate & 1:  # ablate bit0: no DMA (profiling; results garbage)
+            return
+
+        @pl.when(cache_ref[b] != c)
+        def _():
+            pltpu.make_async_copy(
+                slabs_ref.at[c], slab.at[b], sem.at[b]
+            ).start()
+            cache_ref[b] = c
+            cache_ref[2 + b] = 1
+
+    def wait(b):
+        if ablate & 1:
+            return
+
+        @pl.when(cache_ref[2 + b] != 0)
+        def _():
+            pltpu.make_async_copy(
+                slabs_ref.at[cache_ref[b]], slab.at[b], sem.at[b]
+            ).wait()
+            cache_ref[2 + b] = 0
+
+    return start, wait
+
+
 def _closest_kernel(n_super, tile_rows, cl_in_smem, ablate, ox_ref, oy_ref,
                     oz_ref, dx_ref, dy_ref, dz_ref, maxt_ref, scb_ref,
                     clb_ref, meta_ref, slabs_ref, out_ref, slab, cache_ref,
-                    sem, ent_ref):
+                    sem, ent_ref, hl_ref):
     sc_at = lambda c, k: scb_ref[c * 8 + k]  # SMEM tables are flat
     cl_at = (
         (lambda c, k: clb_ref[c * 8 + k]) if cl_in_smem
@@ -406,51 +456,54 @@ def _closest_kernel(n_super, tile_rows, cl_in_smem, ablate, ox_ref, oy_ref,
     active = maxt > 0.0
     s_pad = ent_ref.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
+    dma_start, dma_wait = _make_dma_helpers(
+        ablate, slabs_ref, slab, cache_ref, sem
+    )
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         cache_ref[0] = -1
+        cache_ref[1] = -1
+        cache_ref[2] = 0
+        cache_ref[3] = 0
 
-    # init: t = maxt (so near-plane-capped rays prune correctly); dead
-    # lanes t = 0 so every box test fails instantly. Row 3 carries the
-    # winner code (cluster * L + slot, -1 = miss) during traversal; the
-    # field rows are filled by the deferred winner walk at the end.
-    out_ref[0] = jnp.where(active, jnp.minimum(maxt, _BIG), 0.0)
+    # init: t = min(maxt, root-box exit distance). Every primitive lies
+    # inside the union of the supercluster boxes, so no ray can hit past
+    # the point where it EXITS that union's bounding box — capping t_best
+    # at the exit distance makes sky-escaping lanes (t_exit small, often
+    # near 0 for rays leaving the scene) prune like close hits instead of
+    # riding t_best = 1e30 through every box test. Without this, one sky
+    # lane per 4096-lane tile pinned t_max at 1e30 and the tile-level
+    # early-out below never fired on bounce wavefronts. Dead lanes t = 0.
+    def _root_acc(s, bb):
+        return (
+            jnp.minimum(bb[0], sc_at(s, 0)),
+            jnp.minimum(bb[1], sc_at(s, 1)),
+            jnp.minimum(bb[2], sc_at(s, 2)),
+            jnp.maximum(bb[3], sc_at(s, 3)),
+            jnp.maximum(bb[4], sc_at(s, 4)),
+            jnp.maximum(bb[5], sc_at(s, 5)),
+        )
+
+    root = jax.lax.fori_loop(
+        0, n_super, _root_acc,
+        (_BIG, _BIG, _BIG, -_BIG, -_BIG, -_BIG), unroll=False,
+    )
+    far = None
+    for k in range(3):
+        lo = (root[k] - o[k]) * inv[k]
+        hi = (root[3 + k] - o[k]) * inv[k]
+        fk = jnp.maximum(lo, hi)
+        far = fk if far is None else jnp.minimum(far, fk)
+    # exit distance with relative+absolute slack; rays missing the root
+    # box entirely (far < 0) can hit nothing -> t cap 0
+    t_exit = jnp.where(far > 0.0, far * 1.0001 + 1e-4, 0.0)
+    out_ref[0] = jnp.where(
+        active, jnp.minimum(jnp.minimum(maxt, t_exit), _BIG), 0.0
+    )
     out_ref[1] = jnp.zeros_like(maxt)
     out_ref[2] = jnp.zeros_like(maxt)
     out_ref[3] = jnp.full_like(maxt, -1.0)
-
-    def visit_cluster(c, carry):
-        t_best = out_ref[0]
-        hit, _t_in = _box_entry(cl_at, c, o, inv, t_best)
-
-        @pl.when(jnp.any(hit))
-        def _():
-            if not (ablate & 1):  # ablate bit0: skip the slab DMA
-                @pl.when(cache_ref[0] != c)
-                def _():
-                    cp = pltpu.make_async_copy(slabs_ref.at[c], slab, sem)
-                    cp.start()
-                    cp.wait()
-                    cache_ref[0] = c
-
-            if ablate & 2:  # ablate bit1: skip the slot tests
-                out_ref[3] = jnp.where(hit, out_ref[3] + 0.0, out_ref[3])
-                return
-            # Tri-only clusters (the common case for mesh scenes) skip
-            # the sphere/cylinder slot math entirely.
-            t_c, slot_c, u_c, v_c = jax.lax.cond(
-                meta_ref[c] != 0,
-                lambda: _slot_tests(slab, o, d),
-                lambda: _slot_tests_tri_only(slab, o, d),
-            )
-            improved = hit & (t_c < out_ref[0])
-            out_ref[0] = jnp.where(improved, t_c, out_ref[0])
-            out_ref[1] = jnp.where(improved, u_c, out_ref[1])
-            out_ref[2] = jnp.where(improved, v_c, out_ref[2])
-            code = (c * L + jnp.clip(slot_c, 0, L - 1)).astype(jnp.float32)
-            out_ref[3] = jnp.where(improved, code, out_ref[3])
-        return 0
 
     # ---- pass 1: per-supercluster tile entry distances ----
     # ent[s] = min over lanes of the entry distance into supercluster s
@@ -472,7 +525,10 @@ def _closest_kernel(n_super, tile_rows, cl_in_smem, ablate, ox_ref, oy_ref,
     # value within the first few visits and the per-cluster near < t_best
     # test prunes the rest. Once even the nearest unvisited entry exceeds
     # the tile's worst t_best, no lane can improve — remaining iterations
-    # fall through (a handful of vector ops each).
+    # fall through (a handful of vector ops each). Each visited group
+    # first box-tests its 16 clusters into an SMEM hit list, then walks
+    # the list with double-buffered slab DMA (next slab in flight while
+    # the current slots are tested).
     def visit_ordered(i, carry):
         ent = ent_ref[:, :]
         e = jnp.min(ent)
@@ -481,10 +537,65 @@ def _closest_kernel(n_super, tile_rows, cl_in_smem, ablate, ox_ref, oy_ref,
 
         @pl.when(e < t_max)
         def _():
+            cache_ref[4] = 0
+
+            def boxpass(c, _):
+                hit, _n = _box_entry(cl_at, c, o, inv, out_ref[0])
+
+                @pl.when(jnp.any(hit))
+                def _():
+                    k = cache_ref[4]
+                    hl_ref[k] = c
+                    cache_ref[4] = k + 1
+                return 0
+
             jax.lax.fori_loop(
-                s * GROUP, (s + 1) * GROUP, visit_cluster, 0,
-                unroll=False,
+                s * GROUP, (s + 1) * GROUP, boxpass, 0, unroll=False
             )
+            k = cache_ref[4]
+
+            @pl.when(k > 0)
+            def _():
+                dma_start(hl_ref[0], 0)
+
+                def walk(j, _):
+                    b = jax.lax.rem(j, 2)
+
+                    @pl.when(j + 1 < k)
+                    def _():
+                        dma_start(hl_ref[j + 1], jax.lax.rem(j + 1, 2))
+
+                    dma_wait(b)
+                    c = hl_ref[j]
+                    # recheck: hits earlier in this group may have pruned
+                    hit, _n = _box_entry(cl_at, c, o, inv, out_ref[0])
+                    if ablate & 2:  # ablate bit1: skip the slot tests
+                        out_ref[3] = jnp.where(
+                            hit, out_ref[3] + 0.0, out_ref[3]
+                        )
+                        return 0
+
+                    @pl.when(jnp.any(hit))
+                    def _():
+                        sl = slab.at[b]
+                        # Tri-only clusters (the common case for mesh
+                        # scenes) skip the sphere/cylinder slot math.
+                        t_c, slot_c, u_c, v_c = jax.lax.cond(
+                            meta_ref[c] != 0,
+                            lambda: _slot_tests(sl, o, d),
+                            lambda: _slot_tests_tri_only(sl, o, d),
+                        )
+                        improved = hit & (t_c < out_ref[0])
+                        out_ref[0] = jnp.where(improved, t_c, out_ref[0])
+                        out_ref[1] = jnp.where(improved, u_c, out_ref[1])
+                        out_ref[2] = jnp.where(improved, v_c, out_ref[2])
+                        code = (
+                            c * L + jnp.clip(slot_c, 0, L - 1)
+                        ).astype(jnp.float32)
+                        out_ref[3] = jnp.where(improved, code, out_ref[3])
+                    return 0
+
+                jax.lax.fori_loop(0, k, walk, 0, unroll=False)
         ent_ref[:, :] = jnp.where(col == s, _BIG, ent)
         return 0
 
@@ -494,7 +605,8 @@ def _closest_kernel(n_super, tile_rows, cl_in_smem, ablate, ox_ref, oy_ref,
     # Traversal paid only a (t, u, v, code) update per improving cluster;
     # here one segment walk over the tile's few DISTINCT winner clusters
     # gathers all NFIELDS rows per lane (the merl_sorted tile-walk
-    # pattern). Misses get the fill values.
+    # pattern), with the NEXT winner cluster's slab prefetched while the
+    # current one's 32 field rows resolve. Misses get the fill values.
     win_code = out_ref[3]
     for f in range(NFIELDS):
         fill = -1.0 if f in (_F_TYPE, _F_EMIT, _F_SHAPE, _F_PRIM) else 0.0
@@ -503,50 +615,58 @@ def _closest_kernel(n_super, tile_rows, cl_in_smem, ablate, ox_ref, oy_ref,
     out_ref[3 + _F_MAT] = jnp.zeros_like(maxt)
 
     def win_cond(state):
-        return state != SENT_CODE
+        return state[0] != SENT_CODE
 
-    def win_body(cur):
+    def win_body(state):
+        cur, b = state
         c = jnp.floor(cur / float(L)).astype(jnp.int32)
+        nxt = jnp.min(
+            jnp.where(win_code >= (c + 1) * L, win_code, SENT_CODE)
+        )
+        nb = 1 - b
 
-        @pl.when(cache_ref[0] != c)
+        @pl.when(nxt != SENT_CODE)
         def _():
-            cp = pltpu.make_async_copy(slabs_ref.at[c], slab, sem)
-            cp.start()
-            cp.wait()
-            cache_ref[0] = c
+            cn = jnp.floor(nxt / float(L)).astype(jnp.int32)
+            dma_start(cn, nb)
 
+        dma_wait(b)
+        sl = slab.at[b]
         in_c = (win_code >= c * L) & (win_code < (c + 1) * L)
         idx = jnp.clip(
             (win_code - c * L).astype(jnp.int32), 0, LANE - 1
         )
         for f in range(NFIELDS):
-            seg = jnp.broadcast_to(slab[f, :][None, :], (tile_rows, LANE))
+            seg = jnp.broadcast_to(sl[f, :][None, :], (tile_rows, LANE))
             got = jnp.take_along_axis(seg, idx, axis=1)
             out_ref[3 + f] = jnp.where(in_c, got, out_ref[3 + f])
-        nxt = jnp.min(
-            jnp.where(win_code >= (c + 1) * L, win_code, SENT_CODE)
-        )
-        return nxt
+        return (nxt, nb)
 
     cur0 = jnp.min(jnp.where(win_code >= 0.0, win_code, SENT_CODE))
     if not (ablate & 4):  # ablate bit2: skip the winner-field walk
-        jax.lax.while_loop(win_cond, win_body, cur0)
+        @pl.when(cur0 != SENT_CODE)
+        def _():
+            c0 = jnp.floor(cur0 / float(L)).astype(jnp.int32)
+            dma_start(c0, 0)
+
+        jax.lax.while_loop(win_cond, win_body, (cur0, jnp.int32(0)))
 
     # misses: restore t = +inf semantics
     missed = win_code < 0.0
     out_ref[0] = jnp.where(missed, _BIG, out_ref[0])
 
 
-def _shadow_kernel(n_super, tile_rows, cl_in_smem, ox_ref, oy_ref,
+def _shadow_kernel(n_super, tile_rows, cl_in_smem, ablate, ox_ref, oy_ref,
                    oz_ref, dx_ref, dy_ref, dz_ref, maxt_ref, scb_ref,
                    clb_ref, meta_ref, slabs_ref, hit_ref, slab, cache_ref,
-                   sem, ent_ref):
+                   sem, ent_ref, hl_ref):
     """Any-hit variant: hit_ref (TILE_ROWS, LANE) f32 1.0 = occluded.
     A lane that finds any hit drops out of further box tests; the tile
     skips whole groups once every live lane is resolved. Superclusters
     are visited nearest-entry-first (most occluders sit near the ray
     origin — surface self-shadowing), so occluded lanes die in the first
-    visits and the tile's live set collapses early."""
+    visits and the tile's live set collapses early. Groups walk their
+    box-hit clusters with double-buffered slab DMA (see _closest_kernel)."""
     sc_at = lambda c, k: scb_ref[c * 8 + k]
     cl_at = (
         (lambda c, k: clb_ref[c * 8 + k]) if cl_in_smem
@@ -559,39 +679,49 @@ def _shadow_kernel(n_super, tile_rows, cl_in_smem, ox_ref, oy_ref,
     active = maxt > 0.0
     s_pad = ent_ref.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
+    dma_start, dma_wait = _make_dma_helpers(
+        ablate, slabs_ref, slab, cache_ref, sem
+    )
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         cache_ref[0] = -1
+        cache_ref[1] = -1
+        cache_ref[2] = 0
+        cache_ref[3] = 0
 
     hit_ref[:] = jnp.zeros_like(maxt)
 
-    def visit_cluster(c, _):
-        live = active & (hit_ref[:] == 0.0)
-        t_cap = jnp.where(live, maxt, 0.0)
-        boxhit, _ = _box_entry(cl_at, c, o, inv, t_cap)
+    # Cap the box-test distance at the root-box exit (see _closest_kernel:
+    # no occluder exists past the point where the ray leaves the union of
+    # all boxes) — _SHADOW_INF rays toward distant/env emitters then prune
+    # like finite ones. The occlusion compare below keeps the TRUE maxt.
+    def _root_acc(s, bb):
+        return (
+            jnp.minimum(bb[0], sc_at(s, 0)),
+            jnp.minimum(bb[1], sc_at(s, 1)),
+            jnp.minimum(bb[2], sc_at(s, 2)),
+            jnp.maximum(bb[3], sc_at(s, 3)),
+            jnp.maximum(bb[4], sc_at(s, 4)),
+            jnp.maximum(bb[5], sc_at(s, 5)),
+        )
 
-        @pl.when(jnp.any(boxhit))
-        def _():
-            @pl.when(cache_ref[0] != c)
-            def _():
-                cp = pltpu.make_async_copy(slabs_ref.at[c], slab, sem)
-                cp.start()
-                cp.wait()
-                cache_ref[0] = c
-
-            t_c, _slot, _u, _v = jax.lax.cond(
-                meta_ref[c] != 0,
-                lambda: _slot_tests(slab, o, d),
-                lambda: _slot_tests_tri_only(slab, o, d),
-            )
-            occ = boxhit & (t_c < maxt)
-            hit_ref[:] = jnp.where(occ, 1.0, hit_ref[:])
-        return 0
+    root = jax.lax.fori_loop(
+        0, n_super, _root_acc,
+        (_BIG, _BIG, _BIG, -_BIG, -_BIG, -_BIG), unroll=False,
+    )
+    far = None
+    for k in range(3):
+        lo = (root[k] - o[k]) * inv[k]
+        hi = (root[3 + k] - o[k]) * inv[k]
+        fk = jnp.maximum(lo, hi)
+        far = fk if far is None else jnp.minimum(far, fk)
+    t_exit = jnp.where(far > 0.0, far * 1.0001 + 1e-4, 0.0)
+    mt_cap = jnp.minimum(maxt, t_exit)
 
     # pass 1: per-supercluster entry distances (vs the full per-lane cap)
     ent_ref[:, :] = jnp.full((1, s_pad), _BIG)
-    t_cap0 = jnp.where(active, maxt, 0.0)
+    t_cap0 = jnp.where(active, mt_cap, 0.0)
 
     def entry_pass(s, carry):
         hit, near = _box_entry(sc_at, s, o, inv, t_cap0)
@@ -610,10 +740,60 @@ def _shadow_kernel(n_super, tile_rows, cl_in_smem, ox_ref, oy_ref,
 
         @pl.when((e < _BIG) & unresolved)
         def _():
+            cache_ref[4] = 0
+
+            def boxpass(c, _):
+                live = active & (hit_ref[:] == 0.0)
+                t_cap = jnp.where(live, mt_cap, 0.0)
+                boxhit, _n = _box_entry(cl_at, c, o, inv, t_cap)
+
+                @pl.when(jnp.any(boxhit))
+                def _():
+                    k = cache_ref[4]
+                    hl_ref[k] = c
+                    cache_ref[4] = k + 1
+                return 0
+
             jax.lax.fori_loop(
-                s * GROUP, (s + 1) * GROUP, visit_cluster, 0,
-                unroll=False,
+                s * GROUP, (s + 1) * GROUP, boxpass, 0, unroll=False
             )
+            k = cache_ref[4]
+
+            @pl.when(k > 0)
+            def _():
+                dma_start(hl_ref[0], 0)
+
+                def walk(j, _):
+                    b = jax.lax.rem(j, 2)
+
+                    @pl.when(j + 1 < k)
+                    def _():
+                        dma_start(hl_ref[j + 1], jax.lax.rem(j + 1, 2))
+
+                    dma_wait(b)
+                    c = hl_ref[j]
+                    live = active & (hit_ref[:] == 0.0)
+                    t_cap = jnp.where(live, mt_cap, 0.0)
+                    boxhit, _n = _box_entry(cl_at, c, o, inv, t_cap)
+                    if ablate & 2:
+                        hit_ref[:] = jnp.where(
+                            boxhit, hit_ref[:] + 0.0, hit_ref[:]
+                        )
+                        return 0
+
+                    @pl.when(jnp.any(boxhit))
+                    def _():
+                        sl = slab.at[b]
+                        t_c, _slot, _u, _v = jax.lax.cond(
+                            meta_ref[c] != 0,
+                            lambda: _slot_tests(sl, o, d),
+                            lambda: _slot_tests_tri_only(sl, o, d),
+                        )
+                        occ = boxhit & (t_c < maxt)
+                        hit_ref[:] = jnp.where(occ, 1.0, hit_ref[:])
+                    return 0
+
+                jax.lax.fori_loop(0, k, walk, 0, unroll=False)
         ent_ref[:, :] = jnp.where(col == s, _BIG, ent)
         return 0
 
@@ -694,10 +874,11 @@ def _closest_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS,
                                     pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((NFIELDS, LANE), jnp.float32),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, NFIELDS, LANE), jnp.float32),
+            pltpu.SMEM((5,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((1, s_pad), jnp.float32),
+            pltpu.SMEM((GROUP,), jnp.int32),
         ],
         # VMEM-resident box tables (cl_in_smem=False) push the scoped
         # vmem footprint past the 16 MB default on big scenes; v5e has
@@ -754,8 +935,9 @@ def intersect(cs: ClusterSet, ray: Ray, interpret=False,
     return t, prim, u, v, g
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _shadow_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _shadow_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS,
+                 ablate=0):
     o, d, maxt = rays
     npad = o.shape[0]
     shape2 = (npad // LANE, LANE)
@@ -766,7 +948,7 @@ def _shadow_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     cl_in_smem = cs.cl_box.shape[0] <= SMEM_BOXES_MAX
     kernel = functools.partial(
-        _shadow_kernel, cs.n_super, tile_rows, cl_in_smem
+        _shadow_kernel, cs.n_super, tile_rows, cl_in_smem, ablate
     )
     s_pad = max(LANE, (cs.n_super + LANE - 1) // LANE * LANE)
     out = pl.pallas_call(
@@ -778,10 +960,11 @@ def _shadow_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
                                     pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=lane_spec,
         scratch_shapes=[
-            pltpu.VMEM((NFIELDS, LANE), jnp.float32),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, NFIELDS, LANE), jnp.float32),
+            pltpu.SMEM((5,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((1, s_pad), jnp.float32),
+            pltpu.SMEM((GROUP,), jnp.int32),
         ],
         # VMEM-resident box tables (cl_in_smem=False) push the scoped
         # vmem footprint past the 16 MB default on big scenes; v5e has
@@ -805,9 +988,9 @@ def _shadow_impl(cs: ClusterSet, rays, interpret, tile_rows=TILE_ROWS):
 
 
 def occluded(cs: ClusterSet, ray: Ray, interpret=False,
-             tile_rows=TILE_ROWS):
+             tile_rows=TILE_ROWS, ablate=0):
     """Any-hit query (Scene::ray_test)."""
     interpret = _auto_interpret(interpret)
     o, d, maxt, n, npad = _pad_rays(ray, tile_rows * LANE)
-    hit = _shadow_impl(cs, (o, d, maxt), interpret, tile_rows)
+    hit = _shadow_impl(cs, (o, d, maxt), interpret, tile_rows, ablate)
     return hit[:n] > 0.5

@@ -215,7 +215,7 @@ def sample_direction(
     k, u0 = table.select.sample_reuse(sample3[..., 0])
     u2 = jnp.stack([u0, sample3[..., 1]], axis=-1)
     u_pos = sample3[..., 1:3]
-    et = table.em_type[k]
+    et = take_rows(table.em_type, k)
     sel_pmf = table.select.eval_pmf(k)
 
     out_d = jnp.zeros(p_ref.shape)
@@ -240,7 +240,7 @@ def sample_direction(
     if table.em_geom is not None:
         x, n_e = _sample_position_on_prim(table.em_geom, q, u_pos)
     else:
-        prim = table.em_prims[q]
+        prim = take_rows(table.em_prims, q)
         x, n_e = _sample_position_on_prim(geom, prim, u_pos)
     to_x = x - p_ref
     dist2 = m.squared_norm(to_x)
@@ -248,7 +248,7 @@ def sample_direction(
     d = to_x / dist[..., None]
     cos_e = m.dot(n_e, -d)
     pmf_q = table.prim_dist.eval_pmf(q, slice_=(k,))
-    p_area = m.safe_div(pmf_q, table.prim_area[q])
+    p_area = m.safe_div(pmf_q, take_rows(table.prim_area, q))
     pdf_sa = m.safe_div(p_area * dist2, cos_e)
     front = cos_e > 0.0
     rad = jnp.where(
@@ -297,7 +297,7 @@ def sample_direction(
 
     # ---- point ----
     mask_point = et == POINT
-    to_p = table.position[k] - p_ref
+    to_p = take_rows(table.position, k) - p_ref
     pdist2 = m.squared_norm(to_p)
     pdist = jnp.sqrt(jnp.maximum(pdist2, 1e-12))
     d_p = to_p / pdist[..., None]
@@ -313,11 +313,11 @@ def sample_direction(
 
     # ---- spot ----
     mask_spot = et == SPOT
-    cos_spot = m.dot(table.direction[k], -d_p)
+    cos_spot = m.dot(take_rows(table.direction, k), -d_p)
     falloff = jnp.clip(
         m.safe_div(
-            cos_spot - table.cutoff_cos[k],
-            table.beam_cos[k] - table.cutoff_cos[k],
+            cos_spot - take_rows(table.cutoff_cos, k),
+            take_rows(table.beam_cos, k) - take_rows(table.cutoff_cos, k),
         ),
         0.0,
         1.0,
@@ -334,7 +334,7 @@ def sample_direction(
 
     # ---- directional ----
     mask_dir = et == DIRECTIONAL
-    d_d = -table.direction[k]
+    d_d = -take_rows(table.direction, k)
     put(
         mask_dir,
         jnp.broadcast_to(d_d, p_ref.shape),
@@ -426,12 +426,27 @@ def _bilinear_lookup(img, uv):
     )
 
 
+def _q_of_prim(table: EmitterTable, prim):
+    """q index (row in em_prims / em_geom) of a hit emissive prim.
+
+    em_prims is built sorted ascending (scene compile appends shapes in
+    prim order), so q is the rank of `prim` among em_prims — a broadcast
+    compare+reduce. The (P,)-entry prim_to_q gather this replaces costs
+    ~15 ms per 2M lanes on v5e (round-5 frame trace); the rank compare is
+    ~Q vector ops. Falls back to the gather for very large Q. Only valid
+    on lanes where si.emitter >= 0 (callers mask)."""
+    Q = table.em_prims.shape[0]
+    if Q <= 1024:
+        le = table.em_prims[None, :] <= prim[..., None]
+        return jnp.clip(jnp.sum(le.astype(jnp.int32), axis=-1) - 1, 0, Q - 1)
+    return jnp.maximum(table.prim_to_q[jnp.maximum(prim, 0)], 0)
+
+
 def pdf_hit_direction(table: EmitterTable, geom: geo.Geometry, si, p_ref):
     """pdf_emitter_direction for a BSDF ray that *hit* emissive prim si.prim
     — the MIS denominator for area lights (SURVEY.md §3.1)."""
-    q = table.prim_to_q[jnp.maximum(si.prim, 0)]
-    valid = (si.prim >= 0) & (q >= 0) & (si.emitter >= 0)
-    qs = jnp.maximum(q, 0)
+    qs = _q_of_prim(table, si.prim)
+    valid = (si.prim >= 0) & (si.emitter >= 0)
     em = jnp.maximum(si.emitter, 0)
     pmf_q = table.prim_dist.eval_pmf(qs, slice_=(em,))
     sel = table.select.eval_pmf(em)
@@ -439,7 +454,10 @@ def pdf_hit_direction(table: EmitterTable, geom: geo.Geometry, si, p_ref):
     dist2 = m.squared_norm(to_x)
     d = to_x * m.safe_rsqrt(dist2)[..., None]
     cos_e = m.dot(si.n, -d)
-    pdf_sa = m.safe_div(pmf_q / jnp.maximum(table.prim_area[qs], 1e-12) * dist2, cos_e)
+    pdf_sa = m.safe_div(
+        pmf_q / jnp.maximum(take_rows(table.prim_area, qs), 1e-12) * dist2,
+        cos_e,
+    )
     return jnp.where(valid & (cos_e > 0), sel * pdf_sa, 0.0)
 
 
@@ -448,13 +466,12 @@ def pdf_hit_area(table: EmitterTable, si):
     the surface point si.p on the hit emissive prim: sel_pmf * prim_pmf /
     prim_area (0 for non-emitter hits). The BDPT MIS ratios compare
     strategy densities in the area product measure (render/bdpt.py)."""
-    q = table.prim_to_q[jnp.maximum(si.prim, 0)]
-    valid = (si.prim >= 0) & (q >= 0) & (si.emitter >= 0)
-    qs = jnp.maximum(q, 0)
+    qs = _q_of_prim(table, si.prim)
+    valid = (si.prim >= 0) & (si.emitter >= 0)
     em = jnp.maximum(si.emitter, 0)
     pmf_q = table.prim_dist.eval_pmf(qs, slice_=(em,))
     sel = table.select.eval_pmf(em)
-    p = sel * pmf_q / jnp.maximum(table.prim_area[qs], 1e-12)
+    p = sel * pmf_q / jnp.maximum(take_rows(table.prim_area, qs), 1e-12)
     return jnp.where(valid, p, 0.0)
 
 
@@ -495,7 +512,7 @@ def eval_hit(table: EmitterTable, si):
     # origin (si.n is unflipped; to_world(si.wi) points toward the origin).
     front = m.dot(si.n, si.to_world(si.wi)) > 0.0
     # only area emitters emit from surfaces
-    is_area = table.em_type[em] == AREA
+    is_area = take_rows(table.em_type, em) == AREA
     return jnp.where(
         (valid & front & is_area)[..., None], take_rows(table.radiance, em), 0.0
     )

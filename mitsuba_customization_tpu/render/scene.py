@@ -143,7 +143,10 @@ class Scene:
             # intersections are always detached (geometry gradients out
             # of contract — render/integrator.py)
             ray = jax.tree_util.tree_map(jax.lax.stop_gradient, ray)
-            t, prim, u, v, g = cl_mod.intersect(self.clusters, ray)
+            t, prim, u, v, g = cl_mod.intersect(
+                self.clusters, ray,
+                tile_rows=cl_mod.auto_tile_rows(ray.o.shape[0]),
+            )
             si = geo.interaction_from_g(g, ray, t, prim, u, v)
         else:
             if mode == "bvh":
@@ -179,7 +182,12 @@ class Scene:
                 if self.shadow_clusters is not None
                 else self.clusters
             )
-            return self._sdf_occluded(ray, cl_mod.occluded(cs, ray))
+            return self._sdf_occluded(
+                ray,
+                cl_mod.occluded(
+                    cs, ray, tile_rows=cl_mod.auto_tile_rows(ray.o.shape[0])
+                ),
+            )
         g = (
             self.shadow_geometry
             if self.shadow_geometry is not None
