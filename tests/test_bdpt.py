@@ -80,6 +80,7 @@ def _compare(kw, spp_p=48, spp_b=48, tol=0.07):
     assert ncc > 0.95, ncc
 
 
+@pytest.mark.slow  # heavy; faster sibling stays in the default run
 def test_bdpt_matches_path_glossy():
     """Golden scene 1: diffuse + GGX + area light."""
     _compare({})

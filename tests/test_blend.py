@@ -3,6 +3,7 @@ mask}.cpp parity — SURVEY.md §2.4)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import mitsuba_customization_tpu as mct
 from mitsuba_customization_tpu.models import bsdf as bsdf_mod
@@ -89,6 +90,7 @@ def test_blend_sample_unbiased():
     np.testing.assert_allclose(est, ref, rtol=0.03)
 
 
+@pytest.mark.slow  # heavy; faster sibling stays in the default run
 def test_mask_render_transparency():
     """opacity 0 lets light straight through; opacity 1 acts like the
     child. Verify via a masked plate between camera and light."""

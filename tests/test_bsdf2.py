@@ -7,6 +7,7 @@ Mirrors mitsuba3 src/bsdfs/tests/test_{rough,thin}dielectric.py patterns
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mitsuba_customization_tpu.models import roughdielectric as rd
 from mitsuba_customization_tpu.models import thindielectric as td
@@ -112,6 +113,7 @@ def test_thindielectric_total_reflectance():
     assert abs(refl.mean() - r_tot.mean()) < 0.01
 
 
+@pytest.mark.slow  # heavy; faster sibling stays in the default run
 def test_scene_integration_thindielectric_roughdielectric():
     import mitsuba_customization_tpu as mct
 

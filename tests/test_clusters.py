@@ -75,7 +75,10 @@ def _rays(n, seed=0, aim_frac=0.5):
     return Ray.make(jnp.asarray(o), jnp.asarray(d))
 
 
-@pytest.mark.parametrize("extra_analytic", [False, True])
+@pytest.mark.parametrize("extra_analytic", [
+    pytest.param(False, marks=pytest.mark.slow),  # tri-only subset
+    True,
+])
 def test_closest_matches_brute(extra_analytic):
     g = _mesh_geometry(n_sub=2, extra_analytic=extra_analytic)
     cs = cl.build(g)
@@ -135,6 +138,7 @@ def test_occluded_and_maxt():
     assert (p2[capped] == -1).all()
 
 
+@pytest.mark.slow  # heavy; faster sibling stays in the default run
 def test_scene_cluster_render_matches_bvh():
     """Full-scene parity: the cluster path and the BVH path render the
     same image (CPU: cluster kernel forced via interpret monkeypatch)."""
@@ -151,8 +155,10 @@ def test_scene_cluster_render_matches_bvh():
     from mitsuba_customization_tpu.render import scene as scene_mod
 
     orig_i, orig_o = cl_mod.intersect, cl_mod.occluded
-    cl_mod.intersect = lambda cs, r, interpret=False: orig_i(cs, r, True)
-    cl_mod.occluded = lambda cs, r, interpret=False: orig_o(cs, r, True)
+    cl_mod.intersect = lambda cs, r, interpret=False, **kw: orig_i(
+        cs, r, True, **kw)
+    cl_mod.occluded = lambda cs, r, interpret=False, **kw: orig_o(
+        cs, r, True, **kw)
     orig_mode = scene_mod.Scene._mode
     scene_mod.Scene._mode = lambda self: self.config.intersector
     try:

@@ -65,6 +65,7 @@ def test_compaction_schedule_matches_within_noise():
     assert abs(got.mean() - ref.mean()) < 0.004, (got.mean(), ref.mean())
 
 
+@pytest.mark.slow  # heavy; faster sibling stays in the default run
 def test_forced_thinning_unbiased():
     """A brutally tight schedule (12.5% after bounce 1) forces systematic
     RR on live lanes; the estimator must remain unbiased (image mean

@@ -373,6 +373,7 @@ def test_sigma_t_grad_matches_analytic():
     assert abs(g - expect) < 4.0 * stderr + 0.02, (g, expect)
 
 
+@pytest.mark.slow  # heavy; faster sibling stays in the default run
 def test_phase_and_albedo_grads_finite_nonzero():
     import jax
 

@@ -62,6 +62,7 @@ def test_furnace_diffuse():
     assert np.allclose(bg, 1.0, rtol=0.02), bg
 
 
+@pytest.mark.slow  # heavy; faster sibling stays in the default run
 def test_furnace_depth_invariance():
     """Convex diffuse shape in a furnace: result independent of max_depth."""
     albedo = [0.5, 0.5, 0.5]
@@ -220,7 +221,15 @@ def test_row_chunked_render_matches(monkeypatch):
     img_chunked = np.asarray(integ.render(scene, spp=4, seed=0))
     assert np.allclose(img_full, img_chunked, rtol=1e-5, atol=1e-6)
 
-    monkeypatch.setattr(integ, "MAX_WAVEFRONT", 1 << 21)
+
+@pytest.mark.slow  # splat-filter variant of the row-chunk gate above
+def test_row_chunked_render_matches_splat(monkeypatch):
+    import mitsuba_customization_tpu.render.integrator as integ
+
+    scene = _sphere_scene(
+        {"type": "diffuse", "reflectance": [0.5, 0.5, 0.5]},
+        spp=4, res=16,
+    )
     scene.config.rfilter = "tent"
     img_full = np.asarray(integ.render(scene, spp=4, seed=0))
     monkeypatch.setattr(integ, "MAX_WAVEFRONT", 16 * 4 * 4)

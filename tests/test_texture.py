@@ -5,6 +5,7 @@ Mirrors mitsuba3 src/textures/tests (SURVEY.md §4.1 test strategy).
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import mitsuba_customization_tpu as mct
 from mitsuba_customization_tpu.models import texture as tex
@@ -69,6 +70,7 @@ def test_checkerboard_cells():
     np.testing.assert_allclose(out[3], [1, 0, 0])
 
 
+@pytest.mark.slow  # heavy; faster sibling stays in the default run
 def test_textured_rectangle_render():
     """A checkerboard rectangle under constant illumination shows the two
     albedos (scaled by the constant-light furnace factor) in its cells."""
